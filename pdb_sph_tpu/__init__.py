@@ -1,0 +1,26 @@
+"""pdb_sph_tpu — a TPU-native Position Based Fluids engine.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of the CUDA
+reference `jakymiws/pdb-sph` (Macklin & Muller, "Position Based Fluids",
+SIGGRAPH 2013): spatial-hash neighbor search, Jacobi density-constraint
+solver with CFM relaxation, box collisions, and the Standard / DamBreak /
+Blowup scenes — designed TPU-first (counting-sort cell list via lax.sort,
+fused Pallas neighbor kernels, whole step resident on device as one jitted
+program, z-slab domain decomposition over a device mesh).
+"""
+
+from .config import SimConfig, default_config, blowup_config, SCENES
+from .state import SimState, make_state
+from .models.scenes import spawn
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "SimConfig",
+    "SimState",
+    "SCENES",
+    "default_config",
+    "blowup_config",
+    "make_state",
+    "spawn",
+]

@@ -1,0 +1,159 @@
+"""Simulation configuration.
+
+One source of truth for every physical and numerical constant of the solver.
+
+The CUDA reference (jakymiws/pdb-sph) scatters its constants between the
+constructor (`src/FluidSimulator.cu:19-50`), the app driver
+(`src/main.cpp:41-44`) and *hardcoded copies inside the device kernels*
+(`src/FluidSimulator.cu:236-243,282,297,302,357-358`), which desync the moment
+a constructor argument changes. Here a single frozen dataclass is threaded
+through everything; it is hashable so it can be a static argument of jitted
+functions.
+
+TPU-specific knobs (`nb_cell_size`, `cell_capacity`, `max_occupied_cells`)
+configure the counting-sort cell table that replaces the reference's
+thrust-sorted spatial hash (`src/FluidSimulator.cu:151-196,478`). Note the
+reference uses cells of size 2h (cellSize=0.2, h=0.1), which scans 8x more
+volume than necessary per neighbor query; the TPU rebuild decouples the
+*internal* neighbor grid (cell size = h by default) from the reference's
+public (cell_size, grid_width) API so physics is identical but the candidate
+set is ~6x smaller.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+# float32 pi, matching the reference's in-kernel constant
+# (src/FluidSimulator.cu:234 `float _pi = 3.141592f`).
+REF_PI = 3.141592
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Every constant of the PBF solver.
+
+    Defaults reproduce the reference configuration exactly
+    (src/main.cpp:41-44 and src/FluidSimulator.cu:34-39).
+    """
+
+    # --- public API parity with FluidSimulator(n, cellSize, gridWidth) ---
+    n: int = 80_000
+    cell_size: float = 0.2       # reference hash cell (src/main.cpp:43)
+    grid_width: int = 40         # reference grid width (src/main.cpp:42)
+
+    # --- time stepping ---
+    dt: float = 0.0086           # src/main.cpp:44
+    solver_iters: int = 3        # maxIterations, src/FluidSimulator.cu:39
+
+    # --- SPH / PBF physics ---
+    h: float = 0.1               # smoothing radius, src/FluidSimulator.cu:34
+    rho0: float = 6378.0         # rest density, src/FluidSimulator.cu:35
+    relaxation_eps: float = 600.0  # CFM epsilon, src/FluidSimulator.cu:282
+    s_corr: float = 1e-4         # constant artificial pressure, :297
+    gravity: float = -9.8        # src/FluidSimulator.cu:210
+    velocity_damp: float = 0.99  # src/FluidSimulator.cu:208
+    collision_damp: float = 0.3  # collDamp, src/FluidSimulator.cu:357
+    wall: float = 2.0            # box upper bound, src/FluidSimulator.cu:358
+
+    # The reference density kernel uses the *2-D* poly6 normalisation
+    # 4/(pi h^8) in a 3-D simulation (src/FluidSimulator.cu:236) — a quirk,
+    # but self-consistent with rho0=6378. Keep it for bit-level parity;
+    # set False for the textbook 3-D norm 315/(64 pi h^9).
+    use_reference_poly6_norm: bool = True
+
+    # --- TPU neighbor structure (no reference equivalent; replaces
+    #     computeSpatialHash + thrust::sort_by_key + findCellsInArray) ---
+    nb_cell_size: float = 0.0    # 0.0 -> default to h
+    cell_capacity: int = 128     # max particles per internal cell
+    max_occupied_cells: int = 4096
+    block: int = 128             # pallas pair-block edge (lane width)
+
+    # ------------------------------------------------------------------
+    # derived quantities (properties so the dataclass stays hashable)
+    # ------------------------------------------------------------------
+    @property
+    def domain_extent(self) -> float:
+        """Edge length of the hash-grid domain (reference: 40 * 0.2 = 8)."""
+        return self.grid_width * self.cell_size
+
+    @property
+    def nb_cell(self) -> float:
+        return self.nb_cell_size if self.nb_cell_size > 0.0 else self.h
+
+    @property
+    def nb_grid_width(self) -> int:
+        return max(1, int(round(self.domain_extent / self.nb_cell)))
+
+    @property
+    def num_nb_cells(self) -> int:
+        w = self.nb_grid_width
+        return w * w * w
+
+    @property
+    def h2(self) -> float:
+        return self.h * self.h
+
+    @property
+    def inv_rho0(self) -> float:
+        return 1.0 / self.rho0
+
+    @property
+    def poly6_coeff(self) -> float:
+        """Normalisation of W_poly6 = coeff * (h^2 - r^2)^3.
+
+        Reference uses 4/(pi h^8) (src/FluidSimulator.cu:236) — the 2-D norm.
+        """
+        h = self.h
+        if self.use_reference_poly6_norm:
+            return 4.0 / (REF_PI * h**8)
+        return 315.0 / (64.0 * math.pi * h**9)
+
+    @property
+    def spiky_grad_coeff(self) -> float:
+        """|grad W_spiky| = coeff * (h - r)^2, coeff = 45/(pi h^6).
+
+        src/FluidSimulator.cu:239 and :296.
+        """
+        return 45.0 / (REF_PI * self.h**6)
+
+    @property
+    def lambda_grad_coeff(self) -> float:
+        """The reference's L_coeff = spiky_grad_coeff / rho0 (:239)."""
+        return self.spiky_grad_coeff * self.inv_rho0
+
+    def validate(self) -> None:
+        if self.n <= 0:
+            raise ValueError(f"n must be positive, got {self.n}")
+        if self.h <= 0 or self.cell_size <= 0:
+            raise ValueError("h and cell_size must be positive")
+        if self.nb_cell < self.h:
+            # neighbor cells smaller than h would miss pairs in the 27-stencil
+            raise ValueError(
+                f"nb_cell ({self.nb_cell}) must be >= h ({self.h}) so the "
+                "27-cell stencil covers the full interaction radius"
+            )
+        if self.cell_capacity % self.block != 0:
+            raise ValueError(
+                f"cell_capacity ({self.cell_capacity}) must be a multiple of "
+                f"block ({self.block}) for TPU lane alignment"
+            )
+
+
+# The three named scenes of the reference README (README.md:4-15). Only the
+# random-cube spawner exists in reference code (src/FluidSimulator.cu:138-149);
+# DamBreak and Blowup are README-described spawn variants.
+SCENES = ("standard", "dam_break", "blowup")
+
+
+def default_config(**overrides) -> SimConfig:
+    cfg = SimConfig(**overrides)
+    cfg.validate()
+    return cfg
+
+
+def blowup_config(**overrides) -> SimConfig:
+    """Blowup packs ~150 particles per h-cell; needs a deeper cell table."""
+    overrides.setdefault("cell_capacity", 256)
+    return default_config(**overrides)
