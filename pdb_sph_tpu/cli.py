@@ -1,0 +1,159 @@
+"""Headless simulation runner — the replacement for the reference app driver
+(src/main.cpp:46-152), with the window/camera loop swapped for frame files,
+structured metrics, and checkpointing.
+
+Examples:
+    python -m pdb_sph_tpu.cli --scene dam_break --n 80000 --steps 600
+    python -m pdb_sph_tpu.cli --scene blowup --render-every 10 --out frames/
+    python -m pdb_sph_tpu.cli --resume ckpt.npz --steps 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import jax
+import numpy as np
+
+from .config import SCENES, SimConfig, blowup_config, default_config
+from .core.step import diagnostics_fn, make_rollout
+from .io import checkpoint, frames
+from .models.scenes import spawn
+from .utils.logging import MetricsLogger
+from .utils.timing import host_sync
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="pdb_sph_tpu",
+        description="TPU-native Position Based Fluids simulator",
+    )
+    p.add_argument("--scene", choices=SCENES, default="standard")
+    p.add_argument("--n", type=int, default=80_000,
+                   help="particle count (reference default 80k, main.cpp:41)")
+    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--dt", type=float, default=0.0086)
+    p.add_argument("--iters", type=int, default=3,
+                   help="constraint solver iterations (reference: 3)")
+    p.add_argument("--cell-size", type=float, default=0.2)
+    p.add_argument("--grid-width", type=int, default=40)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--backend", choices=("auto", "pallas", "cell", "dense"),
+                   default="auto")
+    p.add_argument("--chunk", type=int, default=20,
+                   help="steps per device call (lax.scan length)")
+    p.add_argument("--metrics", type=str, default=None,
+                   help="JSONL metrics path (default: stdout)")
+    p.add_argument("--metrics-every", type=int, default=20,
+                   help="steps between diagnostic records; 0 disables")
+    p.add_argument("--render-every", type=int, default=0,
+                   help="steps between PNG frames; 0 disables rendering")
+    p.add_argument("--out", type=str, default="frames",
+                   help="directory for rendered frames")
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--height", type=int, default=720)
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="checkpoint file to write")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="steps between checkpoints; 0 = only at the end")
+    p.add_argument("--resume", type=str, default=None,
+                   help="resume from a checkpoint (overrides scene/n)")
+    return p
+
+
+def config_from_args(args) -> SimConfig:
+    make = blowup_config if args.scene == "blowup" else default_config
+    return make(
+        n=args.n,
+        dt=args.dt,
+        solver_iters=args.iters,
+        cell_size=args.cell_size,
+        grid_width=args.grid_width,
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.resume:
+        cfg, state = checkpoint.load(args.resume)
+    else:
+        cfg = config_from_args(args)
+        state = spawn(cfg, args.scene, args.seed)
+
+    chunk = max(1, min(args.chunk, args.steps))
+    for gate in (args.metrics_every, args.render_every, args.checkpoint_every):
+        if gate and gate % chunk:
+            chunk = 1  # honor exact cadences
+            break
+
+    rollout = make_rollout(cfg, backend=args.backend, unroll_steps=chunk)
+    diag = jax.jit(lambda s: diagnostics_fn(cfg, s))
+
+    writer = None
+    if args.render_every:
+        writer = frames.FrameWriter(args.out, args.width, args.height)
+        writer.submit(int(state.step), state.x)
+
+    log = MetricsLogger(args.metrics)
+    log.log(event="start", scene=args.scene, n=cfg.n, steps=args.steps,
+            backend=args.backend, dt=cfg.dt, iters=cfg.solver_iters,
+            device=str(jax.devices()[0]))
+
+    done = 0
+    t_start = time.perf_counter()
+    try:
+        while done < args.steps:
+            t0 = time.perf_counter()
+            state = rollout(state)
+            host_sync(state)
+            dt_wall = time.perf_counter() - t0
+            done += chunk
+            step_no = int(state.step)
+
+            record = {
+                "event": "progress", "step": step_no,
+                "steps_per_sec": chunk / dt_wall,
+                "particle_steps_per_sec": chunk * cfg.n / dt_wall,
+            }
+            if args.metrics_every and done % args.metrics_every == 0:
+                d = diag(state)
+                record.update(
+                    mean_density=float(d.mean_density),
+                    max_density_err=float(d.max_density_err),
+                    max_speed=float(d.max_speed),
+                    n_escaped=int(d.n_escaped),
+                    n_overflow=int(d.n_overflow),
+                    nan_detected=bool(d.nan_detected),
+                )
+                if bool(d.nan_detected):
+                    log.log(**record)
+                    print("FATAL: non-finite state detected; aborting",
+                          file=sys.stderr)
+                    return 2
+            log.log(**record)
+
+            if writer and done % args.render_every == 0:
+                writer.submit(step_no, state.x)
+            if (args.checkpoint and args.checkpoint_every
+                    and done % args.checkpoint_every == 0):
+                checkpoint.save(args.checkpoint, cfg, state)
+    finally:
+        if writer:
+            writer.close()
+
+    wall = time.perf_counter() - t_start
+    if args.checkpoint:
+        checkpoint.save(args.checkpoint, cfg, state)
+    log.log(event="done", steps=done, wall_seconds=wall,
+            steps_per_sec=done / wall,
+            particle_steps_per_sec=done * cfg.n / wall,
+            frames=writer.frames_written if writer else 0)
+    log.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -67,7 +67,8 @@ class SimConfig:
     #     computeSpatialHash + thrust::sort_by_key + findCellsInArray) ---
     nb_cell_size: float = 0.0    # 0.0 -> default to h
     cell_capacity: int = 128     # max particles per internal cell
-    max_occupied_cells: int = 4096
+    max_occupied_cells: int = 4096  # cell-table rows; default_config derives
+                                    # a tighter bound from n when not overridden
     block: int = 128             # pallas pair-block edge (lane width)
 
     # ------------------------------------------------------------------
@@ -149,6 +150,14 @@ SCENES = ("standard", "dam_break", "blowup")
 
 def default_config(**overrides) -> SimConfig:
     cfg = SimConfig(**overrides)
+    if "max_occupied_cells" not in overrides:
+        # an occupied cell holds >= 1 particle, so occupied <= min(n, cells);
+        # sizing the table to that bound keeps small configs (tests, probes)
+        # from paying the 80k-scale table cost in the XLA cell backend
+        occ = min(cfg.n, cfg.num_nb_cells)
+        cfg = dataclasses.replace(
+            cfg, max_occupied_cells=max(8, min(4096, -(-occ // 8) * 8))
+        )
     cfg.validate()
     return cfg
 

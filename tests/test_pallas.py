@@ -1,0 +1,103 @@
+"""Pallas window-kernel parity vs the XLA cell-list backend and dense oracle.
+
+Runs in Pallas interpreter mode on CPU; the same code path compiles with
+Mosaic on real TPU (exercised by bench.py / the driver).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pdb_sph_tpu import default_config, spawn
+from pdb_sph_tpu.core.step import make_step
+from pdb_sph_tpu.ops import hashgrid, pallas_pbf
+
+
+def _unsort(state):
+    inv = np.argsort(np.asarray(state.ids))
+    return np.asarray(state.x)[inv], np.asarray(state.v)[inv]
+
+
+@pytest.mark.parametrize("scene", ["standard", "blowup"])
+def test_pallas_step_matches_cell(scene):
+    cfg = default_config(n=512, max_occupied_cells=1024, cell_capacity=256)
+    st = spawn(cfg, scene, seed=0)
+    sc = make_step(cfg, backend="cell")(st)
+    sp = make_step(cfg, backend="pallas", pallas_interpret=True)(st)
+    x_c, v_c = _unsort(sc)
+    x_p, v_p = _unsort(sp)
+    np.testing.assert_allclose(x_p, x_c, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(v_p, v_c, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_three_steps_match_dense():
+    cfg = default_config(n=256)
+    st = spawn(cfg, "standard", seed=1)
+    sd = make_step(cfg, backend="dense")
+    sp = make_step(cfg, backend="pallas", pallas_interpret=True)
+    a, b = st, st
+    for _ in range(3):
+        a = sd(a)
+        b = sp(b)
+    x_p, _ = _unsort(b)
+    np.testing.assert_allclose(x_p, np.asarray(a.x), rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_nonmultiple_of_128():
+    # n = 300: padding slots must stay inert
+    cfg = default_config(n=300)
+    st = spawn(cfg, "standard", seed=2)
+    sc = make_step(cfg, backend="cell")(st)
+    sp = make_step(cfg, backend="pallas", pallas_interpret=True)(st)
+    x_c, _ = _unsort(sc)
+    x_p, _ = _unsort(sp)
+    assert np.isfinite(x_p).all()
+    np.testing.assert_allclose(x_p, x_c, rtol=1e-5, atol=1e-6)
+
+
+def test_window_plan_covers_all_pairs():
+    """Every pair within h must fall in exactly one candidate window."""
+    cfg = default_config(n=384)
+    st = spawn(cfg, "blowup", seed=3)
+    p = st.x
+    n = cfg.n
+    n_pad = pallas_pbf.pad_to_chunks(n)
+    cid = hashgrid.cell_ids(cfg, p)
+    cid_pad = jnp.concatenate(
+        [cid, jnp.full((n_pad - n,), cfg.num_nb_cells, jnp.int32)]
+    )
+    sc, order_pad = hashgrid.sort_by_cell(cfg, cid_pad)
+    plan = pallas_pbf.build_plan(cfg, sc)
+    ps = np.asarray(p)[np.asarray(order_pad[:n])]
+
+    starts = np.asarray(plan.chunk_start)[:, 0, :]
+    los = np.asarray(plan.chunk_lo)[:, 0, :]
+    his = np.asarray(plan.chunk_hi)[:, 0, :]
+
+    d = ps[:, None, :] - ps[None, :, :]
+    rd2 = (d * d).sum(-1)
+    within = rd2 < cfg.h2
+
+    for c in range(n_pad // pallas_pbf.OWN):
+        t_total = starts[c, -1]
+        covered = np.zeros(n_pad + pallas_pbf.CC, dtype=int)
+        for t in range(t_total):
+            s, lo, hi = starts[c, t], los[c, t], his[c, t]
+            covered[s + lo : s + hi] += 1
+        # no double counting
+        assert covered.max() <= 1, f"chunk {c}: candidate counted twice"
+        # full coverage of true neighbors of every own particle in the chunk
+        for i in range(c * pallas_pbf.OWN, min((c + 1) * pallas_pbf.OWN, n)):
+            js = np.nonzero(within[i][:n])[0]
+            assert (covered[js] == 1).all(), f"chunk {c} misses neighbors of {i}"
+
+
+def test_window_plan_no_overflow_at_defaults():
+    cfg = default_config(n=2048)
+    st = spawn(cfg, "blowup", seed=4)
+    n_pad = pallas_pbf.pad_to_chunks(cfg.n)
+    cid = hashgrid.cell_ids(cfg, st.x)
+    sc, _ = hashgrid.sort_by_cell(cfg, cid)
+    plan = pallas_pbf.build_plan(cfg, sc)
+    assert int(plan.n_overflow) == 0

@@ -1,0 +1,89 @@
+"""Sharded (8 fake CPU devices) vs single-device parity — SURVEY.md section 4
+"multi-device without a cluster"."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pdb_sph_tpu import default_config, spawn
+from pdb_sph_tpu.core.step import make_step
+from pdb_sph_tpu.parallel import sharded
+
+D = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= D, "conftest must fake 8 devices"
+    return sharded.make_mesh(D)
+
+
+def _run_sharded(cfg, state, mesh, steps):
+    pcfg = sharded.ParallelConfig.create(cfg, D, slack=4.0)
+    step = sharded.make_sharded_step(cfg, pcfg, mesh)
+    x, v, ids = sharded.distribute(cfg, pcfg, state, mesh)
+    stats = None
+    for _ in range(steps):
+        x, v, ids, stats = step(x, v, ids)
+    return sharded.collect(x, v, ids), np.asarray(stats)
+
+
+def _run_single(cfg, state, steps):
+    step = make_step(cfg, backend="cell")
+    for _ in range(steps):
+        state = step(state)
+    inv = np.argsort(np.asarray(state.ids))
+    return np.asarray(state.x)[inv], np.asarray(state.v)[inv]
+
+
+@pytest.mark.parametrize("scene", ["blowup", "dam_break"])
+def test_sharded_matches_single_device(mesh, scene):
+    cfg = default_config(n=512, max_occupied_cells=640, cell_capacity=128)
+    st = spawn(cfg, scene, seed=0)
+    got, stats = _run_sharded(cfg, st, mesh, steps=3)
+    want_x, want_v = _run_single(cfg, st, steps=3)
+    assert stats[:, 1].sum() == 0, "migration overflow"
+    assert stats[:, 2].sum() == 0, "merge overflow"
+    assert stats[:, 3].sum() == 0, "ghost overflow"
+    assert stats[:, 0].sum() == cfg.n, "particles lost or duplicated"
+    np.testing.assert_array_equal(np.asarray(got.ids), np.arange(cfg.n))
+    np.testing.assert_allclose(np.asarray(got.x), want_x, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.v), want_v, rtol=1e-3, atol=2e-3)
+
+
+def test_migration_moves_particles_between_shards(mesh):
+    cfg = default_config(n=256, max_occupied_cells=384, cell_capacity=128)
+    st = spawn(cfg, "blowup", seed=1)
+    pcfg = sharded.ParallelConfig.create(cfg, D, slack=4.0)
+    step = sharded.make_sharded_step(cfg, pcfg, mesh)
+    x, v, ids = sharded.distribute(cfg, pcfg, st, mesh)
+    occupancy0 = np.asarray(
+        (np.asarray(ids).reshape(D, -1) >= 0).sum(axis=1)
+    )
+    for _ in range(10):
+        x, v, ids, stats = step(x, v, ids)
+    occupancy1 = (np.asarray(ids).reshape(D, -1) >= 0).sum(axis=1)
+    assert np.asarray(stats)[:, 0].sum() == cfg.n
+    # the blowup explosion spreads the ball across slabs
+    assert (occupancy1 != occupancy0).any()
+
+
+def test_distribute_collect_roundtrip(mesh):
+    cfg = default_config(n=300)
+    st = spawn(cfg, "standard", seed=2)
+    pcfg = sharded.ParallelConfig.create(cfg, D, slack=4.0)
+    x, v, ids = sharded.distribute(cfg, pcfg, st, mesh)
+    back = sharded.collect(x, v, ids)
+    np.testing.assert_allclose(np.asarray(back.x), np.asarray(st.x), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(back.ids), np.asarray(st.ids))
+
+
+def test_distribute_rejects_overflow(mesh):
+    cfg = default_config(n=4096)
+    st = spawn(cfg, "blowup", seed=3)  # dense ball -> few slabs hold all
+    pcfg = sharded.ParallelConfig(
+        n_devices=D, capacity=128, mig_capacity=128, ghost_capacity=128
+    )
+    with pytest.raises(ValueError):
+        sharded.distribute(cfg, pcfg, st, mesh)
