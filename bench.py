@@ -27,7 +27,9 @@ def main() -> int:
     state = pbf.spawn(cfg, "dam_break", seed=0)
 
     backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "cell"
-    chunk = 30
+    # 60 steps per device call: the tunneled TPU backend has ~30-60 ms of
+    # fixed per-call latency, so amortize it below 1 ms/step
+    chunk = 60
     rollout = make_rollout(cfg, backend=backend, unroll_steps=chunk)
 
     # settle past the initial collapse transient + compile

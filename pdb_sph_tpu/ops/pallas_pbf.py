@@ -51,10 +51,24 @@ from . import smoothing
 # shrinks with smaller OWN) against per-chunk control overhead; CC trades
 # ceil-to-chunk lane waste against DMA/loop frequency.
 OWN = int(os.environ.get("PBF_OWN", "128"))   # own-chunk size (accum rows)
-CC = int(os.environ.get("PBF_CC", "256"))     # candidate-chunk lane width
+CC = int(os.environ.get("PBF_CC", "512"))     # candidate-chunk lane width
+NBUF = int(os.environ.get("PBF_NBUF", "4"))   # DMA pipeline depth: the 4 KiB
+                                              # candidate copies are latency-
+                                              # bound, so keep several in flight
+GB = int(os.environ.get("PBF_GB", "4"))       # own-chunks per grid step: the
+                                              # Mosaic pipeline costs ~1.6 us
+                                              # per grid step regardless of
+                                              # work, so batch chunks to
+                                              # amortize it
 MAX_T = 36864 // CC   # max candidate chunks per own chunk
 META_W = -(-(MAX_T + 1) // 128) * 128   # SMEM chunk-table width; last lane = T
-SENTINEL = 1.0e9   # padding position: rd2 overflows any h^2 test
+# Padding position for pad/margin slots: far enough outside the domain that
+# rd2 >= h^2 against any real particle (so the min-clamp kills the pair), but
+# MODEST in magnitude: the project kernel accumulates s * c_x per lane, where
+# a clamped dead lane can leave s ~ 1 ulp^2 (rsqrt rounding at r == h). With
+# a 1e9 sentinel that residual times the coordinate became a visible uniform
+# drift (~2e-5 per step); at -100 it is ~1e-13.
+SENTINEL = -100.0
 
 
 class WindowPlan(NamedTuple):
@@ -68,7 +82,7 @@ class WindowPlan(NamedTuple):
 
 
 def pad_to_chunks(n: int) -> int:
-    return -(-n // OWN) * OWN
+    return -(-n // (OWN * GB)) * (OWN * GB)
 
 
 # ---------------------------------------------------------------------------
@@ -165,13 +179,27 @@ def build_p4(p_sorted: jax.Array, n_pad: int) -> jax.Array:
     return p4
 
 
+def _p4_from_pT(pT: jax.Array, width: int) -> jax.Array:
+    """(n_pad, 4) own-layout -> (4, width) candidate layout, sentinel margin.
+
+    One fused XLA transpose per solver pass (~MBs of HBM traffic) buys
+    zero in-kernel relayouts: a (1, OWN) -> (OWN, 1) transpose inside the
+    kernel costs ~300 ns on the VPU, and the kernels needed four per chunk.
+    """
+    n_pad = pT.shape[0]
+    p4 = jnp.full((4, width), SENTINEL, jnp.float32)
+    p4 = p4.at[:, :n_pad].set(pT.T)
+    p4 = p4.at[3, n_pad:].set(0.0)
+    return p4
+
+
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
 
 def _pair_loop(cfg, starts_ref, lo_ref, hi_ref, hbm_ref, buf, sem,
-               compute_chunk, init):
-    """Shared double-buffered candidate streaming loop.
+               compute_chunk, init, g: int = 0):
+    """Shared double-buffered candidate streaming loop for own-chunk g.
 
     compute_chunk(cand4, penalty, acc) -> acc, where cand4 is (4, CC) and
     penalty is (1, CC) f32: 0 on valid lanes, h^2 on lanes outside [lo, hi).
@@ -179,31 +207,39 @@ def _pair_loop(cfg, starts_ref, lo_ref, hi_ref, hbm_ref, buf, sem,
     free — both kernels' terms vanish at rd2 == h^2 — so no per-lane mask
     multiplies survive in the (OWN, CC) pair math.
     """
-    total = starts_ref[0, 0, META_W - 1]
+    total = starts_ref[0, g, META_W - 1]
     h2 = jnp.float32(cfg.h2)
 
     def issue(slot, t):
-        start = pl.multiple_of(starts_ref[0, 0, t], 128)
+        start = pl.multiple_of(starts_ref[0, g, t], 128)
         return pltpu.make_async_copy(
             hbm_ref.at[:, pl.ds(start, CC)], buf.at[slot], sem.at[slot]
         )
 
-    @pl.when(total > 0)
-    def _():
-        issue(0, 0).start()
+    # NBUF-deep prologue: the copies are ~4 KiB, so completion is dominated
+    # by DMA latency, not bandwidth — keep several in flight to hide it
+    # behind the ~300 ns of pair math per chunk.
+    for k in range(NBUF - 1):
+        @pl.when(k < total)
+        def _(k=k):
+            issue(k, k).start()
 
     def body(t, acc):
-        slot = jax.lax.rem(t, 2)
+        slot = jax.lax.rem(t, NBUF)
 
-        @pl.when(t + 1 < total)
+        @pl.when(t + NBUF - 1 < total)
         def _():
-            issue(1 - slot, t + 1).start()
+            issue(jax.lax.rem(t + NBUF - 1, NBUF), t + NBUF - 1).start()
 
         issue(slot, t).wait()
-        lo = lo_ref[0, 0, t]
-        hi = hi_ref[0, 0, t]
+        lo = lo_ref[0, g, t]
+        hi = hi_ref[0, g, t]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CC), 1)
-        penalty = jnp.where((lane >= lo) & (lane < hi), 0.0, h2)
+        # 1e-16 (not 0) on valid lanes: the self pair lands at rd2 == 1e-16
+        # instead of 0, so rd2 * rsqrt(rd2) stays finite with no extra
+        # max() in the (OWN, CC) block math
+        penalty = jnp.where((lane >= lo) & (lane < hi),
+                            jnp.float32(1e-16), h2)
         return compute_chunk(buf[slot], penalty, acc)
 
     return jax.lax.fori_loop(0, total, body, init)
@@ -211,46 +247,46 @@ def _pair_loop(cfg, starts_ref, lo_ref, hi_ref, hbm_ref, buf, sem,
 
 def _density_kernel(cfg: SimConfig, starts_ref, lo_ref, hi_ref, own_ref,
                     hbm_ref, lam_ref, buf, sem):
-    ox = jnp.transpose(own_ref[0:1, :])       # (OWN, 1)
-    oy = jnp.transpose(own_ref[1:2, :])
-    oz = jnp.transpose(own_ref[2:3, :])
     h = jnp.float32(cfg.h)
     h2 = jnp.float32(cfg.h2)
+    l2 = jnp.float32(cfg.lambda_grad_coeff * cfg.lambda_grad_coeff)
 
     # Select-free formulation, algebraically identical to
     # smoothing.density_terms (the pallas<->cell parity tests enforce it):
     # the penalty add + min-at-h^2 clamp zero both t and (h - rd) for dead
     # and invalid lanes, and the constant scales (poly6 norm, the squared
-    # lambda gradient coefficient) are applied once after the stream loop —
-    # the inner block math is 12 VPU ops per (OWN, CC) pair block.
-    def compute(cand, penalty, acc):
-        rho_b, g2_b = acc
-        dx = ox - cand[0:1, :]                # (OWN, CC)
-        dy = oy - cand[1:2, :]
-        dz = oz - cand[2:3, :]
-        rd2 = jnp.minimum(dx * dx + dy * dy + (dz * dz + penalty), h2)
-        t = h2 - rd2
-        u = h - jnp.sqrt(rd2)
-        t2 = t * t
-        u2 = u * u
-        return rho_b + t2 * t, g2_b + (u2 * u2) * rd2
+    # lambda gradient coefficient) are applied once after the stream loop.
+    # r is rd2 * rsqrt(rd2): sqrt costs ~2x rsqrt+mul on the VPU, and the
+    # tiny-clamp keeps the self pair (rd2 == 0) finite with u ~ h.
+    for g in range(GB):
+        sl = slice(g * OWN, (g + 1) * OWN)
+        ox = own_ref[sl, 0:1]                 # (OWN, 1) — no relayout: the
+        oy = own_ref[sl, 1:2]                 # own side rides in transposed
+        oz = own_ref[sl, 2:3]                 # (n_pad, 4) layout
 
-    zero = jnp.zeros((OWN, CC), jnp.float32)
-    rho_b, g2_b = _pair_loop(cfg, starts_ref, lo_ref, hi_ref, hbm_ref, buf,
-                             sem, compute, (zero, zero))
-    rho = jnp.float32(cfg.poly6_coeff) * jnp.sum(rho_b, axis=1, keepdims=True)
-    l2 = jnp.float32(cfg.lambda_grad_coeff * cfg.lambda_grad_coeff)
-    g2 = l2 * jnp.sum(g2_b, axis=1, keepdims=True)
-    lam = smoothing.lambda_from_sums(cfg, rho, g2)
-    lam_ref[0:1, :] = jnp.transpose(lam)
+        def compute(cand, penalty, acc, ox=ox, oy=oy, oz=oz):
+            rho_b, g2_b = acc
+            dx = ox - cand[0:1, :]            # (OWN, CC)
+            dy = oy - cand[1:2, :]
+            dz = oz - cand[2:3, :]
+            rd2 = jnp.minimum(dx * dx + dy * dy + (dz * dz + penalty), h2)
+            t = h2 - rd2
+            u = h - rd2 * jax.lax.rsqrt(rd2)
+            t2 = t * t
+            u2 = u * u
+            return rho_b + t2 * t, g2_b + (u2 * u2) * rd2
+
+        zero = jnp.zeros((OWN, CC), jnp.float32)
+        rho_b, g2_b = _pair_loop(cfg, starts_ref, lo_ref, hi_ref, hbm_ref,
+                                 buf, sem, compute, (zero, zero), g=g)
+        rho = jnp.float32(cfg.poly6_coeff) * jnp.sum(rho_b, axis=1,
+                                                     keepdims=True)
+        g2 = l2 * jnp.sum(g2_b, axis=1, keepdims=True)
+        lam_ref[sl, :] = smoothing.lambda_from_sums(cfg, rho, g2)
 
 
 def _project_kernel(cfg: SimConfig, starts_ref, lo_ref, hi_ref, own_ref,
                     hbm_ref, out_ref, buf, sem):
-    ox = jnp.transpose(own_ref[0:1, :])       # (OWN, 1)
-    oy = jnp.transpose(own_ref[1:2, :])
-    oz = jnp.transpose(own_ref[2:3, :])
-    olam = jnp.transpose(own_ref[3:4, :])
     h = jnp.float32(cfg.h)
     h2 = jnp.float32(cfg.h2)
     k_proj = jnp.float32(-cfg.spiky_grad_coeff * cfg.inv_rho0)
@@ -261,88 +297,97 @@ def _project_kernel(cfg: SimConfig, starts_ref, lo_ref, hi_ref, own_ref,
     # smoothing.delta_p_scale's behavior (s * r with r = 0). Invalid lanes
     # have u == 0 via the penalty clamp, so s == 0 and the s * c
     # accumulations stay finite even against sentinel positions.
-    def compute(cand, penalty, acc):
-        s_sum_b, sx_b, sy_b, sz_b = acc
-        cx, cy, cz = cand[0:1, :], cand[1:2, :], cand[2:3, :]
-        clam = cand[3:4, :] + s_corr                # (1, CC)
-        dx = ox - cx
-        dy = oy - cy
-        dz = oz - cz
-        rd2 = jnp.minimum(dx * dx + dy * dy + (dz * dz + penalty), h2)
-        u = h - jnp.sqrt(rd2)
-        s = (u * u) * (olam + clam)                 # (OWN, CC)
-        return s_sum_b + s, sx_b + s * cx, sy_b + s * cy, sz_b + s * cz
+    for g in range(GB):
+        sl = slice(g * OWN, (g + 1) * OWN)
+        ox = own_ref[sl, 0:1]                 # (OWN, 1), transposed layout
+        oy = own_ref[sl, 1:2]
+        oz = own_ref[sl, 2:3]
+        olam = own_ref[sl, 3:4]
 
-    zero = jnp.zeros((OWN, CC), jnp.float32)
-    s_sum_b, sx_b, sy_b, sz_b = _pair_loop(
-        cfg, starts_ref, lo_ref, hi_ref, hbm_ref, buf, sem, compute,
-        (zero, zero, zero, zero),
-    )
-    ksum = functools.partial(jnp.sum, axis=1, keepdims=True)
-    s_sum = ksum(s_sum_b)
-    sx = ksum(sx_b)
-    sy = ksum(sy_b)
-    sz = ksum(sz_b)
-    # sum_j s*(p_i - p_j) = p_i * sum_j s - sum_j s*p_j  (no per-pair vectors)
-    out_ref[0:1, :] = jnp.transpose(ox + k_proj * (ox * s_sum - sx))
-    out_ref[1:2, :] = jnp.transpose(oy + k_proj * (oy * s_sum - sy))
-    out_ref[2:3, :] = jnp.transpose(oz + k_proj * (oz * s_sum - sz))
-    out_ref[3:4, :] = own_ref[3:4, :]
+        def compute(cand, penalty, acc, ox=ox, oy=oy, oz=oz, olam=olam):
+            dpx_b, dpy_b, dpz_b = acc
+            clam = cand[3:4, :] + s_corr            # (1, CC)
+            dx = ox - cand[0:1, :]
+            dy = oy - cand[1:2, :]
+            dz = oz - cand[2:3, :]
+            rd2 = jnp.minimum(dx * dx + dy * dy + (dz * dz + penalty), h2)
+            u = h - rd2 * jax.lax.rsqrt(rd2)
+            s = (u * u) * (olam + clam)             # (OWN, CC)
+            # dp accumulates s * (p_i - p_j) directly: the deltas are already
+            # in registers for rd2, and the self pair contributes s * 0
+            return dpx_b + s * dx, dpy_b + s * dy, dpz_b + s * dz
+
+        zero = jnp.zeros((OWN, CC), jnp.float32)
+        dpx_b, dpy_b, dpz_b = _pair_loop(
+            cfg, starts_ref, lo_ref, hi_ref, hbm_ref, buf, sem, compute,
+            (zero, zero, zero), g=g,
+        )
+        ksum = functools.partial(jnp.sum, axis=1, keepdims=True)
+        out_ref[sl, 0:1] = ox + k_proj * ksum(dpx_b)
+        out_ref[sl, 1:2] = oy + k_proj * ksum(dpy_b)
+        out_ref[sl, 2:3] = oz + k_proj * ksum(dpz_b)
+        out_ref[sl, 3:4] = olam
 
 
 # ---------------------------------------------------------------------------
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
 
-def _common_specs(width: int):
-    meta_spec = pl.BlockSpec((1, 1, META_W), lambda i: (i, 0, 0),
+def _common_specs():
+    meta_spec = pl.BlockSpec((1, GB, META_W), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM)
-    own_spec = pl.BlockSpec((4, OWN), lambda i: (0, i),
+    own_spec = pl.BlockSpec((GB * OWN, 4), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     hbm_spec = pl.BlockSpec(memory_space=pl.ANY)
     scratch = [
-        pltpu.VMEM((2, 4, CC), jnp.float32),
-        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.VMEM((NBUF, 4, CC), jnp.float32),
+        pltpu.SemaphoreType.DMA((NBUF,)),
     ]
     return meta_spec, own_spec, hbm_spec, scratch
 
 
-def density_pass(cfg: SimConfig, p4: jax.Array, plan: WindowPlan,
-                 interpret: bool = False) -> jax.Array:
-    """p4 (4, width) -> lambda (1, width) in sorted-chunk layout."""
-    width = p4.shape[1]
-    n_pad = width - CC
-    num_chunks = n_pad // OWN
-    meta_spec, own_spec, hbm_spec, scratch = _common_specs(width)
-    lam = pl.pallas_call(
+def _meta_batched(plan: WindowPlan):
+    """(num_chunks, 1, META_W) metas -> (num_chunks/GB, GB, META_W)."""
+    def r(a):
+        return a.reshape(a.shape[0] // GB, GB, META_W)
+
+    return r(plan.chunk_start), r(plan.chunk_lo), r(plan.chunk_hi)
+
+
+def density_pass(cfg: SimConfig, pT: jax.Array, p4: jax.Array,
+                 plan: WindowPlan, interpret: bool = False) -> jax.Array:
+    """(pT (n_pad, 4), p4 (4, width)) -> lambda (n_pad, 1)."""
+    n_pad = pT.shape[0]
+    meta_spec, own_spec, hbm_spec, scratch = _common_specs()
+    starts, los, his = _meta_batched(plan)
+    return pl.pallas_call(
         functools.partial(_density_kernel, cfg),
-        grid=(num_chunks,),
+        grid=(n_pad // (OWN * GB),),
         in_specs=[meta_spec, meta_spec, meta_spec, own_spec, hbm_spec],
-        out_specs=pl.BlockSpec((1, OWN), lambda i: (0, i),
+        out_specs=pl.BlockSpec((GB * OWN, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(plan.chunk_start, plan.chunk_lo, plan.chunk_hi, p4, p4)
-    return lam
+    )(starts, los, his, pT, p4)
 
 
-def project_pass(cfg: SimConfig, p4: jax.Array, plan: WindowPlan,
-                 interpret: bool = False) -> jax.Array:
-    """p4 (with lambda row) -> new p4 (positions moved, lambda copied)."""
-    width = p4.shape[1]
-    num_chunks = (width - CC) // OWN
-    meta_spec, own_spec, hbm_spec, scratch = _common_specs(width)
+def project_pass(cfg: SimConfig, pT: jax.Array, p4: jax.Array,
+                 plan: WindowPlan, interpret: bool = False) -> jax.Array:
+    """(pT with lambda column, p4 with lambda row) -> new pT (n_pad, 4)."""
+    n_pad = pT.shape[0]
+    meta_spec, own_spec, hbm_spec, scratch = _common_specs()
+    starts, los, his = _meta_batched(plan)
     return pl.pallas_call(
         functools.partial(_project_kernel, cfg),
-        grid=(num_chunks,),
+        grid=(n_pad // (OWN * GB),),
         in_specs=[meta_spec, meta_spec, meta_spec, own_spec, hbm_spec],
-        out_specs=pl.BlockSpec((4, OWN), lambda i: (0, i),
+        out_specs=pl.BlockSpec((GB * OWN, 4), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4, width), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(plan.chunk_start, plan.chunk_lo, plan.chunk_hi, p4, p4)
+    )(starts, los, his, pT, p4)
 
 
 def solve_pallas(cfg: SimConfig, p_sorted: jax.Array, sorted_cid_pad: jax.Array,
@@ -351,18 +396,18 @@ def solve_pallas(cfg: SimConfig, p_sorted: jax.Array, sorted_cid_pad: jax.Array,
     cell id; sorted_cid_pad (n_pad,) with padding = num_nb_cells."""
     n = p_sorted.shape[0]
     n_pad = pad_to_chunks(n)
+    width = n_pad + CC
     plan = build_plan(cfg, sorted_cid_pad)
-    p4 = build_p4(p_sorted, n_pad)
+    pT = jnp.zeros((n_pad, 4), jnp.float32)
+    pT = pT.at[:n, 0:3].set(p_sorted)
+    pT = pT.at[n:, 0:3].set(SENTINEL)
 
-    def body(_, p4):
-        lam = density_pass(cfg, p4, plan, interpret=interpret)   # (1, n_pad)
-        p4 = jax.lax.dynamic_update_slice(p4, lam, (3, 0))
-        p4 = project_pass(cfg, p4, plan, interpret=interpret)
-        # the kernels only write the first n_pad columns; restore the DMA
-        # margin so sentinel guarantees hold for the next iteration
-        p4 = p4.at[0:3, n_pad:].set(SENTINEL)
-        p4 = p4.at[3, n_pad:].set(0.0)
-        return p4
+    def body(_, pT):
+        p4 = _p4_from_pT(pT, width)
+        lam = density_pass(cfg, pT, p4, plan, interpret=interpret)  # (n_pad, 1)
+        pT = jax.lax.dynamic_update_slice(pT, lam, (0, 3))
+        p4 = jax.lax.dynamic_update_slice(p4, lam.T, (3, 0))
+        return project_pass(cfg, pT, p4, plan, interpret=interpret)
 
-    p4 = jax.lax.fori_loop(0, cfg.solver_iters, body, p4)
-    return p4[0:3, :n].T
+    pT = jax.lax.fori_loop(0, cfg.solver_iters, body, pT)
+    return pT[:n, 0:3]
