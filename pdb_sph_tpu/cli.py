@@ -54,6 +54,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="directory for rendered frames")
     p.add_argument("--width", type=int, default=1280)
     p.add_argument("--height", type=int, default=720)
+    p.add_argument("--eye", type=float, nargs=3, default=None,
+                   metavar=("X", "Y", "Z"),
+                   help="camera position (reference spawns at -1.80 1.48 "
+                        "-2.04, src/main.cpp:34)")
+    p.add_argument("--target", type=float, nargs=3, default=None,
+                   metavar=("X", "Y", "Z"), help="camera look-at point")
+    p.add_argument("--fov", type=float, default=None,
+                   help="vertical field of view in degrees (default 45)")
+    p.add_argument("--profile", type=str, default=None,
+                   help="write a jax.profiler trace to this directory "
+                        "(view with TensorBoard / xprof)")
     p.add_argument("--checkpoint", type=str, default=None,
                    help="checkpoint file to write")
     p.add_argument("--checkpoint-every", type=int, default=0,
@@ -94,13 +105,29 @@ def main(argv=None) -> int:
 
     writer = None
     if args.render_every:
-        writer = frames.FrameWriter(args.out, args.width, args.height)
+        render_kwargs = {}
+        if args.eye is not None:
+            render_kwargs["eye"] = tuple(args.eye)
+        if args.target is not None:
+            render_kwargs["target"] = tuple(args.target)
+        if args.fov is not None:
+            render_kwargs["fov"] = args.fov
+        writer = frames.FrameWriter(args.out, args.width, args.height,
+                                    **render_kwargs)
         writer.submit(int(state.step), state.x)
 
     log = MetricsLogger(args.metrics)
     log.log(event="start", scene=args.scene, n=cfg.n, steps=args.steps,
             backend=args.backend, dt=cfg.dt, iters=cfg.solver_iters,
             device=str(jax.devices()[0]))
+
+    profiling = False
+    if args.profile:
+        try:
+            jax.profiler.start_trace(args.profile)
+            profiling = True
+        except Exception as e:  # tracing may be unsupported on some backends
+            print(f"warning: profiler unavailable ({e})", file=sys.stderr)
 
     done = 0
     t_start = time.perf_counter()
@@ -126,6 +153,7 @@ def main(argv=None) -> int:
                     max_speed=float(d.max_speed),
                     n_escaped=int(d.n_escaped),
                     n_overflow=int(d.n_overflow),
+                    plan_overflow=int(d.plan_overflow),
                     nan_detected=bool(d.nan_detected),
                 )
                 if bool(d.nan_detected):
@@ -141,6 +169,11 @@ def main(argv=None) -> int:
                     and done % args.checkpoint_every == 0):
                 checkpoint.save(args.checkpoint, cfg, state)
     finally:
+        if profiling:
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
         if writer:
             writer.close()
 

@@ -112,6 +112,19 @@ def diagnostics_fn(cfg: SimConfig, state: SimState) -> StepDiagnostics:
     rho_t = cell_list.density_tables(cfg, tx, ty, tz, grid)
     rho = hashgrid.gather_table(cfg, grid, rho_t, jnp.zeros_like(x_s[:, 0]))
 
+    # pallas candidate-plan truncation count (0 on the cell/dense backends'
+    # own structures, but cheap to compute and vital on the pallas path:
+    # truncated windows silently soften the physics)
+    from ..ops import pallas_pbf
+
+    n = cfg.n
+    n_pad = pallas_pbf.pad_to_chunks(n)
+    cid_pad = jnp.concatenate(
+        [cid, jnp.full((n_pad - n,), cfg.num_nb_cells, jnp.int32)]
+    )
+    sorted_cid_pad = jax.lax.sort(cid_pad)
+    plan_overflow = pallas_pbf.build_plan(cfg, sorted_cid_pad).n_overflow
+
     speed = jnp.linalg.norm(state.v, axis=1)
     out = (state.x < -0.25) | (state.x > cfg.wall + 0.25)
     finite = jnp.isfinite(state.x).all() & jnp.isfinite(state.v).all()
@@ -121,6 +134,7 @@ def diagnostics_fn(cfg: SimConfig, state: SimState) -> StepDiagnostics:
         max_speed=jnp.max(speed),
         n_escaped=jnp.sum(out.any(axis=1)).astype(jnp.int32),
         n_overflow=grid.n_overflow,
+        plan_overflow=plan_overflow,
         nan_detected=~finite,
     )
 

@@ -42,6 +42,7 @@ class StepDiagnostics(NamedTuple):
     max_speed: jax.Array        # () max |v|
     n_escaped: jax.Array        # () particles outside [0, wall]^3 (int32)
     n_overflow: jax.Array       # () neighbor-table overflow drops (int32)
+    plan_overflow: jax.Array    # () pallas candidate-window truncations (int32)
     nan_detected: jax.Array     # () bool, any non-finite position/velocity
 
 
