@@ -1,0 +1,90 @@
+"""Scaled dam break on a device mesh (BASELINE.md: 1M particles, v5e-8).
+
+On real multi-chip TPU hardware this runs as-is (the mesh picks up every
+visible chip). Without a pod, pass --fake-devices N to validate the sharded
+program on N virtual CPU devices — same SPMD code, collectives and all.
+
+    python benchmarks/bench_multichip.py                 # real chips
+    python benchmarks/bench_multichip.py --fake-devices 8 --n 100000
+
+Prints one JSON line: particle-steps/s across the whole mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--warmup", type=int, default=10)
+    ap.add_argument("--fake-devices", type=int, default=0,
+                    help="force an N-device CPU platform (validation mode)")
+    ap.add_argument("--max-occ", type=int, default=4096,
+                    help="cell-table rows per shard (drop for small "
+                         "fake-device validation runs: compute scales with it)")
+    args = ap.parse_args(argv)
+
+    if args.fake_devices:
+        import jax
+
+        from jax._src import xla_bridge as _xb
+        if hasattr(_xb.backends, "cache_clear"):
+            _xb.backends.cache_clear()
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.fake_devices)
+        if hasattr(_xb.backends, "cache_clear"):
+            _xb.backends.cache_clear()
+
+    import jax
+    import numpy as np
+
+    import pdb_sph_tpu as pbf
+    from pdb_sph_tpu.parallel import sharded
+
+    n_dev = len(jax.devices())
+    cfg = pbf.default_config(
+        n=args.n,
+        max_occupied_cells=args.max_occ,
+        cell_capacity=128,
+    )
+    state = pbf.spawn(cfg, "dam_break", seed=0)
+
+    mesh = sharded.make_mesh(n_dev)
+    # slack 4: the dam column initially fills only z < 1 (0.125 of the slab
+    # range), so early shards hold ~3x the even share until the flood spreads
+    pcfg = sharded.ParallelConfig.create(cfg, n_dev, slack=4.0)
+    step = sharded.make_sharded_step(cfg, pcfg, mesh)
+    x, v, ids = sharded.distribute(cfg, pcfg, state, mesh)
+
+    for _ in range(args.warmup):
+        x, v, ids, stats = step(x, v, ids)
+    np.asarray(stats)  # fence
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        x, v, ids, stats = step(x, v, ids)
+    stats = np.asarray(stats)  # device->host fence
+    wall = time.perf_counter() - t0
+
+    assert stats[:, 0].sum() == cfg.n, "particle count not conserved"
+    sps = args.steps / wall
+    print(json.dumps({
+        "metric": f"particle_steps_per_sec_{args.n}_dam_break_{n_dev}dev",
+        "value": round(sps * cfg.n, 1),
+        "unit": "particle-steps/s",
+        "steps_per_sec": round(sps, 2),
+        "devices": n_dev,
+        "per_shard_active": stats[:, 0].tolist(),
+        "overflows": stats[:, 1:].sum(axis=0).tolist(),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -73,8 +73,15 @@ def sort_by_cell(cfg: SimConfig, cid: jax.Array):
     return sorted_cid, order
 
 
-def build_grid(cfg: SimConfig, sorted_cid: jax.Array, order: jax.Array) -> CellGrid:
-    """Build the compact occupied-cell structure from sorted cell ids."""
+def build_grid(cfg: SimConfig, sorted_cid: jax.Array, order: jax.Array,
+               ignore_cell: int | None = None) -> CellGrid:
+    """Build the compact occupied-cell structure from sorted cell ids.
+
+    `ignore_cell`: a cell id whose occupants are left out of the table and
+    out of the overflow count — the sharded path parks inactive (sentinel)
+    slots in the last grid cell, and they would otherwise burn a row, eat
+    capacity, and pollute the overflow diagnostic.
+    """
     n = sorted_cid.shape[0]
     max_occ = cfg.max_occupied_cells
     cap = cfg.cell_capacity
@@ -89,10 +96,14 @@ def build_grid(cfg: SimConfig, sorted_cid: jax.Array, order: jax.Array) -> CellG
     col = iota - seg_start                                    # slot within cell
 
     in_table = (row < max_occ) & (col < cap)
-    scatter_row = jnp.where(row < max_occ, row, max_occ + 1)  # OOB -> dropped
+    counted = jnp.ones((n,), bool)
+    if ignore_cell is not None:
+        counted = sorted_cid != ignore_cell
+        in_table = in_table & counted
+    scatter_row = jnp.where(in_table, row, max_occ + 1)       # OOB -> dropped
 
     counts = jnp.zeros((max_occ + 1,), jnp.int32).at[
-        jnp.where(in_table, scatter_row, max_occ + 1)
+        scatter_row
     ].add(1, mode="drop")
 
     # cell id of each occupied row (-1 for unused rows)
@@ -125,7 +136,7 @@ def build_grid(cfg: SimConfig, sorted_cid: jax.Array, order: jax.Array) -> CellG
         nbr_cols.append(jnp.where(valid, nrow, max_occ))
     nbr = jnp.stack(nbr_cols, axis=1)
 
-    n_overflow = jnp.sum(~in_table).astype(jnp.int32)
+    n_overflow = jnp.sum(~in_table & counted).astype(jnp.int32)
 
     return CellGrid(
         order=order,

@@ -168,17 +168,6 @@ def build_plan(cfg: SimConfig, sorted_cid: jax.Array) -> WindowPlan:
     )
 
 
-def build_p4(p_sorted: jax.Array, n_pad: int) -> jax.Array:
-    """(n, 3) sorted positions -> (4, n_pad + CC) [x, y, z, lambda=0] with
-    sentinel padding."""
-    n = p_sorted.shape[0]
-    width = n_pad + CC
-    p4 = jnp.full((4, width), SENTINEL, jnp.float32)
-    p4 = p4.at[0:3, :n].set(p_sorted.T)
-    p4 = p4.at[3, :].set(0.0)
-    return p4
-
-
 def _p4_from_pT(pT: jax.Array, width: int) -> jax.Array:
     """(n_pad, 4) own-layout -> (4, width) candidate layout, sentinel margin.
 

@@ -67,11 +67,15 @@ class ParallelConfig:
             cfg.nb_grid_width,
             int(np.ceil((cfg.wall * 1.25) / cfg.nb_cell)),
         )
+        # ghost buffers hold two full boundary cell-rows per side: a slab a
+        # few cells wide can have nearly its whole population in those rows,
+        # so size them like the shard itself (the ppermute payload is only
+        # (ghost_cap, 4) floats — capacity is cheap, silent truncation isn't)
         return ParallelConfig(
             n_devices=n_devices,
             capacity=cap,
             mig_capacity=max(128, cap // 4),
-            ghost_capacity=max(256, cap // 2),
+            ghost_capacity=cap,
             z_cells_hi=z_hi,
         )
 
@@ -217,11 +221,14 @@ def _shard_step(cfg: SimConfig, pcfg: ParallelConfig, x, v, ids):
     combined0 = jnp.concatenate([p, ghosts0])          # (cap + 2G, 3)
 
     cid = hashgrid.cell_ids(cfg, combined0)
-    # sentinels: clamp sends them to the last cell; they interact only with
-    # each other at distance 0 (delta-p = 0) and are dropped on output
+    # sentinels: clamp sends them all to the last grid cell; exclude that
+    # cell from the table so they cost no rows/capacity and don't pollute
+    # the overflow count (fluid never reaches the far grid corner — the box
+    # wall is at 2 of 8 domain units)
     sorted_cid, order = hashgrid.sort_by_cell(cfg, cid)
     inv_order = jnp.argsort(order)
-    grid = hashgrid.build_grid(cfg, sorted_cid, order)
+    grid = hashgrid.build_grid(cfg, sorted_cid, order,
+                               ignore_cell=cfg.num_nb_cells - 1)
 
     # ---------------- constraint iterations ---------------------------
     def body(_, p_loc):
