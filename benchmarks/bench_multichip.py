@@ -28,6 +28,9 @@ def main(argv=None) -> int:
     ap.add_argument("--max-occ", type=int, default=4096,
                     help="cell-table rows per shard (drop for small "
                          "fake-device validation runs: compute scales with it)")
+    ap.add_argument("--backend", choices=("cell", "pallas"), default=None,
+                    help="per-shard solver (default: pallas on TPU, cell "
+                         "elsewhere)")
     args = ap.parse_args(argv)
 
     if args.fake_devices:
@@ -55,11 +58,15 @@ def main(argv=None) -> int:
     )
     state = pbf.spawn(cfg, "dam_break", seed=0)
 
+    backend = args.backend
+    if backend is None:
+        backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "cell"
+
     mesh = sharded.make_mesh(n_dev)
     # slack 4: the dam column initially fills only z < 1 (0.125 of the slab
     # range), so early shards hold ~3x the even share until the flood spreads
     pcfg = sharded.ParallelConfig.create(cfg, n_dev, slack=4.0)
-    step = sharded.make_sharded_step(cfg, pcfg, mesh)
+    step = sharded.make_sharded_step(cfg, pcfg, mesh, backend=backend)
     x, v, ids = sharded.distribute(cfg, pcfg, state, mesh)
 
     for _ in range(args.warmup):

@@ -122,8 +122,10 @@ def build_plan(cfg: SimConfig, sorted_cid: jax.Array) -> WindowPlan:
         e = jnp.maximum(e, s)
         return e, (s, e)
 
+    # carry derives from `start` (not a fresh zeros) so its varying-axes type
+    # matches inside shard_map
     _, (start_d, end_d) = jax.lax.scan(
-        dedup, jnp.zeros((num_chunks,), jnp.int32), (start.T, end.T)
+        dedup, jnp.zeros_like(start[:, 0]), (start.T, end.T)
     )
     start, end = start_d.T, end_d.T
     length = end - start                                         # (num_chunks, 9)
@@ -135,6 +137,12 @@ def build_plan(cfg: SimConfig, sorted_cid: jax.Array) -> WindowPlan:
     k = jnp.where(length > 0, -(-span // CC), 0)                 # chunks per window
     cum = jnp.cumsum(k, axis=1)                                  # (num_chunks, 9)
     total = cum[:, -1]
+    # Chunks made purely of padding / parked-inactive entries (cell id >=
+    # num_nb_cells) get no candidates at all: their physics is meaningless
+    # and their windows would otherwise span the entire inactive block
+    # (large in the sharded path), wasting lanes and faking overflow.
+    is_pad = c_first >= jnp.int32(cfg.num_nb_cells)
+    total = jnp.where(is_pad, 0, total)
     n_overflow = jnp.sum(jnp.maximum(total - MAX_T, 0) * CC).astype(jnp.int32)
     total = jnp.minimum(total, MAX_T)
 

@@ -121,7 +121,82 @@ def _zcell(cfg: SimConfig, p):
     )
 
 
-def _shard_step(cfg: SimConfig, pcfg: ParallelConfig, x, v, ids):
+def _pallas_solve_and_finalize(cfg, pcfg, p, last, active, ids, combined0,
+                               gok0, exchange_ghosts, mig_overflow,
+                               merge_overflow, ghost_overflow, interpret):
+    """Per-shard constraint solve on the Pallas streaming kernels.
+
+    Same frozen-neighbor-structure semantics as the cell-table path: the
+    sort order and candidate-window plan come from the predicted positions;
+    each iteration refreshes ghost *positions* into the frozen slots.
+    Inactive slots (local padding, invalid ghosts) are assigned cell id
+    num_nb_cells, which sorts them after every real particle and makes
+    build_plan give their chunks zero candidates.
+    """
+    from ..ops import pallas_pbf
+
+    cap = pcfg.capacity
+    n_loc = cap + 2 * pcfg.ghost_capacity
+    n_pad = pallas_pbf.pad_to_chunks(n_loc)
+    width = n_pad + pallas_pbf.CC
+
+    combined_ok = jnp.concatenate([active, gok0])
+    cid = jnp.where(
+        combined_ok, hashgrid.cell_ids(cfg, combined0), cfg.num_nb_cells
+    )
+    cid_pad = jnp.concatenate(
+        [cid, jnp.full((n_pad - n_loc,), cfg.num_nb_cells, jnp.int32)]
+    )
+    sorted_cid, order = jax.lax.sort(
+        (cid_pad, jnp.arange(n_pad, dtype=jnp.int32)), num_keys=1
+    )
+    inv_order = jnp.argsort(order)
+    plan = pallas_pbf.build_plan(cfg, sorted_cid)
+
+    pad_tail = jnp.full((n_pad - n_loc, 3), pallas_pbf.SENTINEL, jnp.float32)
+    # inactive entries carry this module's far-out sentinel (1e9); remap them
+    # to the pallas one (-100): masked DMA-margin lanes can leave an ulp-level
+    # residual s that gets multiplied by the candidate coordinate, and 1e9
+    # turns that into a visible uniform drift
+    ok_sorted = jnp.take(
+        jnp.concatenate([combined_ok, jnp.zeros((n_pad - n_loc,), bool)]),
+        order,
+    )[:, None]
+
+    def body(_, p_loc):
+        ghosts, _ = exchange_ghosts(p_loc)
+        combined = jnp.concatenate([p_loc, ghosts, pad_tail])
+        p_sorted = jnp.take(combined, order, axis=0)          # (n_pad, 3)
+        p_sorted = jnp.where(ok_sorted, p_sorted, pallas_pbf.SENTINEL)
+        pT = jnp.zeros((n_pad, 4), jnp.float32).at[:, 0:3].set(p_sorted)
+        p4 = pallas_pbf._p4_from_pT(pT, width)
+        lam = pallas_pbf.density_pass(cfg, pT, p4, plan, interpret=interpret)
+        pT = jax.lax.dynamic_update_slice(pT, lam, (0, 3))
+        p4 = jax.lax.dynamic_update_slice(p4, lam.T, (3, 0))
+        outT = pallas_pbf.project_pass(cfg, pT, p4, plan, interpret=interpret)
+        dp_sorted = outT[:, 0:3] - p_sorted
+        dp = jnp.take(dp_sorted, inv_order, axis=0)[:cap]
+        return p_loc + jnp.where(active[:, None], dp, 0.0)
+
+    p = jax.lax.fori_loop(0, cfg.solver_iters, body, p)
+
+    x_new, v_new = finalize(cfg, p, last)
+    x_new = jnp.where(active[:, None], x_new, SENTINEL)
+    v_new = jnp.where(active[:, None], v_new, 0.0)
+    stats = jnp.stack(
+        [
+            jnp.sum(active).astype(jnp.int32),
+            mig_overflow,
+            merge_overflow,
+            ghost_overflow,
+            plan.n_overflow,
+        ]
+    )[None]
+    return x_new, v_new, ids, stats
+
+
+def _shard_step(cfg: SimConfig, pcfg: ParallelConfig, backend: str,
+                pallas_interpret: bool, x, v, ids):
     """Body run under shard_map; x (cap, 3), v (cap, 3), ids (cap,)."""
     D = pcfg.n_devices
     cap = pcfg.capacity
@@ -215,10 +290,17 @@ def _shard_step(cfg: SimConfig, pcfg: ParallelConfig, x, v, ids):
         from_right = pshift(buf(ghost_l_idx, ghost_l_ok), left_perm)
         gp = jnp.concatenate([from_left[:, 0:3], from_right[:, 0:3]])
         gok = jnp.concatenate([from_left[:, 3], from_right[:, 3]]) > 0.5
-        return jnp.where(gok[:, None], gp, SENTINEL)
+        return jnp.where(gok[:, None], gp, SENTINEL), gok
 
-    ghosts0 = exchange_ghosts(p)
+    ghosts0, gok0 = exchange_ghosts(p)
     combined0 = jnp.concatenate([p, ghosts0])          # (cap + 2G, 3)
+
+    if backend == "pallas":
+        return _pallas_solve_and_finalize(
+            cfg, pcfg, p, last, active, ids, combined0, gok0,
+            exchange_ghosts, mig_overflow, merge_overflow, ghost_overflow,
+            pallas_interpret,
+        )
 
     cid = hashgrid.cell_ids(cfg, combined0)
     # sentinels: clamp sends them all to the last grid cell; exclude that
@@ -232,7 +314,7 @@ def _shard_step(cfg: SimConfig, pcfg: ParallelConfig, x, v, ids):
 
     # ---------------- constraint iterations ---------------------------
     def body(_, p_loc):
-        ghosts = exchange_ghosts(p_loc)
+        ghosts, _ = exchange_ghosts(p_loc)
         combined = jnp.concatenate([p_loc, ghosts])
         p_sorted = jnp.take(combined, order, axis=0)
         tx = hashgrid.scatter_table(cfg, grid, p_sorted[:, 0])
@@ -270,18 +352,28 @@ def _shard_step(cfg: SimConfig, pcfg: ParallelConfig, x, v, ids):
     return x_new, v_new, ids, stats
 
 
-def make_sharded_step(cfg: SimConfig, pcfg: ParallelConfig, mesh: Mesh):
+def make_sharded_step(cfg: SimConfig, pcfg: ParallelConfig, mesh: Mesh,
+                      backend: str = "cell", pallas_interpret: bool = False):
     """Jitted SPMD step over (D*cap, ...) arrays sharded along the mesh.
+
+    backend "cell" solves on the XLA cell table (portable; the parity
+    reference); "pallas" runs the streaming window kernels per shard (the
+    production multi-chip path — same physics, same frozen neighbor
+    structure, per-iteration ghost refresh).
 
     Returns fn(x, v, ids) -> (x, v, ids, stats) with stats (D, 5):
     [active, migration_overflow, merge_overflow, ghost_overflow,
-    cell_table_overflow] per shard.
+    neighbor_structure_overflow] per shard.
     """
+    if backend not in ("cell", "pallas"):
+        raise ValueError(f"unknown sharded backend {backend!r}")
     fn = jax.shard_map(
-        partial(_shard_step, cfg, pcfg),
+        partial(_shard_step, cfg, pcfg, backend, pallas_interpret),
         mesh=mesh,
         in_specs=(P("z"), P("z"), P("z")),
         out_specs=(P("z"), P("z"), P("z"), P("z")),
+        # pallas_call out_shapes don't carry varying-mesh-axes metadata yet
+        check_vma=(backend != "pallas"),
     )
     return jax.jit(fn)
 

@@ -19,9 +19,10 @@ def mesh():
     return sharded.make_mesh(D)
 
 
-def _run_sharded(cfg, state, mesh, steps):
+def _run_sharded(cfg, state, mesh, steps, backend="cell"):
     pcfg = sharded.ParallelConfig.create(cfg, D, slack=4.0)
-    step = sharded.make_sharded_step(cfg, pcfg, mesh)
+    step = sharded.make_sharded_step(cfg, pcfg, mesh, backend=backend,
+                                     pallas_interpret=(backend == "pallas"))
     x, v, ids = sharded.distribute(cfg, pcfg, state, mesh)
     stats = None
     for _ in range(steps):
@@ -48,6 +49,18 @@ def test_sharded_matches_single_device(mesh, scene):
     assert stats[:, 3].sum() == 0, "ghost overflow"
     assert stats[:, 0].sum() == cfg.n, "particles lost or duplicated"
     np.testing.assert_array_equal(np.asarray(got.ids), np.arange(cfg.n))
+    np.testing.assert_allclose(np.asarray(got.x), want_x, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.v), want_v, rtol=1e-3, atol=2e-3)
+
+
+def test_sharded_pallas_matches_single_device(mesh):
+    """The production multi-chip path: per-shard Pallas streaming solve."""
+    cfg = default_config(n=384, max_occupied_cells=512, cell_capacity=128)
+    st = spawn(cfg, "dam_break", seed=4)
+    got, stats = _run_sharded(cfg, st, mesh, steps=2, backend="pallas")
+    want_x, want_v = _run_single(cfg, st, steps=2)
+    assert stats[:, 1:].sum() == 0, f"overflow: {stats[:, 1:].sum(axis=0)}"
+    assert stats[:, 0].sum() == cfg.n
     np.testing.assert_allclose(np.asarray(got.x), want_x, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got.v), want_v, rtol=1e-3, atol=2e-3)
 
