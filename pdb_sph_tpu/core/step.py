@@ -139,9 +139,14 @@ def diagnostics_fn(cfg: SimConfig, state: SimState) -> StepDiagnostics:
     )
 
 
+@functools.lru_cache(maxsize=64)
 def make_step(cfg: SimConfig, backend: str = "auto",
               pallas_interpret: bool = False) -> Callable[[SimState], SimState]:
-    """Jitted SimState -> SimState."""
+    """Jitted SimState -> SimState.
+
+    Memoized on (cfg, backend, interpret): SimConfig is frozen/hashable, so
+    repeated calls share one compiled executable instead of re-tracing.
+    """
     cfg.validate()
     _resolve_backend(backend)  # fail fast on bad names
     return jax.jit(
@@ -149,13 +154,14 @@ def make_step(cfg: SimConfig, backend: str = "auto",
     )
 
 
+@functools.lru_cache(maxsize=64)
 def make_rollout(cfg: SimConfig, backend: str = "auto", unroll_steps: int = 1,
                  pallas_interpret: bool = False):
     """Jitted (SimState, num_chunks is static via shape) multi-step rollout.
 
     Runs `unroll_steps` steps per device call with lax.scan so long runs stay
     on device (the analogue of the reference's render loop never leaving the
-    GPU). Returns the final state.
+    GPU). Returns the final state. Memoized like make_step.
     """
     cfg.validate()
 

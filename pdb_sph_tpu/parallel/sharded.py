@@ -31,6 +31,7 @@ Design notes:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 
 import jax
@@ -352,9 +353,11 @@ def _shard_step(cfg: SimConfig, pcfg: ParallelConfig, backend: str,
     return x_new, v_new, ids, stats
 
 
+@functools.lru_cache(maxsize=32)
 def make_sharded_step(cfg: SimConfig, pcfg: ParallelConfig, mesh: Mesh,
                       backend: str = "cell", pallas_interpret: bool = False):
     """Jitted SPMD step over (D*cap, ...) arrays sharded along the mesh.
+    Memoized on its (hashable) arguments so repeat calls share one compile.
 
     backend "cell" solves on the XLA cell table (portable; the parity
     reference); "pallas" runs the streaming window kernels per shard (the
