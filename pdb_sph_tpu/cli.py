@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="steps between PNG frames; 0 disables rendering")
     p.add_argument("--out", type=str, default="frames",
                    help="directory for rendered frames")
+    p.add_argument("--gif", type=str, default=None,
+                   help="also assemble rendered frames into an animated GIF "
+                        "(the reference's demo format, README.md:4-15)")
     p.add_argument("--width", type=int, default=1280)
     p.add_argument("--height", type=int, default=720)
     p.add_argument("--eye", type=float, nargs=3, default=None,
@@ -113,7 +116,7 @@ def main(argv=None) -> int:
         if args.fov is not None:
             render_kwargs["fov"] = args.fov
         writer = frames.FrameWriter(args.out, args.width, args.height,
-                                    **render_kwargs)
+                                    gif_path=args.gif, **render_kwargs)
         writer.submit(int(state.step), state.x)
 
     log = MetricsLogger(args.metrics)

@@ -21,6 +21,95 @@ import numpy as np
 from ..render import renderer
 
 
+def write_gif(path: str, frames_rgb: list[np.ndarray], fps: float = 30.0,
+              levels: int = 64) -> None:
+    """Minimal animated GIF89a encoder (stdlib only) — the reference's demo
+    artifacts are gifs (README.md:4-15). Quantizes to a `levels`-entry
+    palette sampled from the first frame's dominant colors (the point-sprite
+    scene is near-monochrome, so uniform luminance bins of the splat color
+    work well)."""
+    if not frames_rgb:
+        raise ValueError("no frames")
+    h, w, _ = frames_rgb[0].shape
+
+    # palette: linear blend background -> splat color sampled from frame 0
+    f0 = frames_rgb[0].reshape(-1, 3).astype(np.float32)
+    lum = f0 @ np.float32([0.299, 0.587, 0.114])
+    order = np.argsort(lum)
+    idxs = np.linspace(0, len(order) - 1, levels).astype(int)
+    palette = f0[order[idxs]].astype(np.uint8)          # (levels, 3)
+    pal_size = 1 << max(2, int(np.ceil(np.log2(levels))))
+    pal = np.zeros((pal_size, 3), np.uint8)
+    pal[:levels] = palette
+
+    def quantize(rgb):
+        px = rgb.reshape(-1, 1, 3).astype(np.int32)
+        d = ((px - palette[None, :, :].astype(np.int32)) ** 2).sum(-1)
+        return d.argmin(axis=1).astype(np.uint8)
+
+    def lzw(data: np.ndarray, min_code: int) -> bytes:
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = end + 1
+        size = min_code + 1
+        out = bytearray()
+        acc = 0
+        nbits = 0
+
+        def emit(code):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += size
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        emit(clear)
+        buf = b""
+        for b in data.tobytes():
+            nxt = buf + bytes([b])
+            if nxt in table:
+                buf = nxt
+            else:
+                emit(table[buf])
+                table[nxt] = next_code
+                next_code += 1
+                if next_code > (1 << size) and size < 12:
+                    size += 1
+                elif next_code > (1 << 12):
+                    emit(clear)
+                    table = {bytes([i]): i for i in range(clear)}
+                    next_code = end + 1
+                    size = min_code + 1
+                buf = bytes([b])
+        if buf:
+            emit(table[buf])
+        emit(end)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    min_code = max(2, int(np.ceil(np.log2(pal_size))))
+    delay = max(1, round(100.0 / fps))
+    parts = [b"GIF89a", struct.pack("<HHBBB", w, h,
+                                    0x80 | (min_code - 1), 0, 0),
+             pal.tobytes(),
+             b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"]  # loop forever
+    for rgb in frames_rgb:
+        parts.append(b"\x21\xf9\x04\x04" + struct.pack("<H", delay) + b"\x00\x00")
+        parts.append(b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00")
+        compressed = lzw(quantize(rgb), min_code)
+        parts.append(bytes([min_code]))
+        for i in range(0, len(compressed), 255):
+            block = compressed[i:i + 255]
+            parts.append(bytes([len(block)]) + block)
+        parts.append(b"\x00")
+    parts.append(b"\x3b")
+    with open(path, "wb") as f:
+        f.write(b"".join(parts))
+
+
 def write_png(path: str, rgb: np.ndarray) -> None:
     """Minimal RGB8 PNG encoder (stdlib only)."""
     h, w, c = rgb.shape
@@ -52,11 +141,15 @@ class FrameWriter:
     """
 
     def __init__(self, out_dir: str, width: int = 1280, height: int = 720,
-                 max_pending: int = 4, **render_kwargs):
+                 max_pending: int = 4, gif_path: str | None = None,
+                 gif_fps: float = 30.0, **render_kwargs):
         os.makedirs(out_dir, exist_ok=True)
         self.out_dir = out_dir
         self.width, self.height = width, height
         self.render_kwargs = render_kwargs
+        self.gif_path = gif_path
+        self.gif_fps = gif_fps
+        self._gif_frames: list[np.ndarray] = []
         self._q: queue.Queue = queue.Queue(maxsize=max_pending)
         self._err: BaseException | None = None
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -73,6 +166,8 @@ class FrameWriter:
                 rgb = renderer.render(pos, self.width, self.height,
                                       **self.render_kwargs)
                 write_png(os.path.join(self.out_dir, f"frame_{step:06d}.png"), rgb)
+                if self.gif_path:
+                    self._gif_frames.append(rgb)
                 self.frames_written += 1
             except BaseException as e:  # surfaced on close()
                 self._err = e
@@ -87,6 +182,8 @@ class FrameWriter:
         self._worker.join()
         if self._err:
             raise RuntimeError("frame writer failed") from self._err
+        if self.gif_path and self._gif_frames:
+            write_gif(self.gif_path, self._gif_frames, fps=self.gif_fps)
 
     def __enter__(self):
         return self
