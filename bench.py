@@ -26,7 +26,9 @@ def main() -> int:
     cfg = pbf.default_config(n=n)
     state = pbf.spawn(cfg, "dam_break", seed=0)
 
-    backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "cell"
+    from pdb_sph_tpu.utils.platform import auto_backend
+
+    backend = auto_backend()
     # 60 steps per device call: the tunneled TPU backend has ~30-60 ms of
     # fixed per-call latency, so amortize it below 1 ms/step
     chunk = 60

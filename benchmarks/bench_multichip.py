@@ -34,15 +34,9 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     if args.fake_devices:
-        import jax
+        from pdb_sph_tpu.utils.platform import force_cpu_devices
 
-        from jax._src import xla_bridge as _xb
-        if hasattr(_xb.backends, "cache_clear"):
-            _xb.backends.cache_clear()
-        jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_num_cpu_devices", args.fake_devices)
-        if hasattr(_xb.backends, "cache_clear"):
-            _xb.backends.cache_clear()
+        force_cpu_devices(args.fake_devices)
 
     import jax
     import numpy as np
@@ -58,9 +52,12 @@ def main(argv=None) -> int:
     )
     state = pbf.spawn(cfg, "dam_break", seed=0)
 
-    backend = args.backend
-    if backend is None:
-        backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "cell"
+    if args.backend is None:
+        from pdb_sph_tpu.utils.platform import auto_backend
+
+        backend = auto_backend()
+    else:
+        backend = args.backend
 
     mesh = sharded.make_mesh(n_dev)
     # slack 4: the dam column initially fills only z < 1 (0.125 of the slab

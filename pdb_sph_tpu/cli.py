@@ -106,6 +106,11 @@ def main(argv=None) -> int:
     rollout = make_rollout(cfg, backend=args.backend, unroll_steps=chunk)
     diag = jax.jit(lambda s: diagnostics_fn(cfg, s))
 
+    if args.gif and not args.render_every:
+        print("error: --gif requires --render-every (no frames are rendered)",
+              file=sys.stderr)
+        return 2
+
     writer = None
     if args.render_every:
         render_kwargs = {}
@@ -136,17 +141,21 @@ def main(argv=None) -> int:
     t_start = time.perf_counter()
     try:
         while done < args.steps:
+            this_chunk = min(chunk, args.steps - done)
+            if this_chunk != chunk:  # final partial chunk: exact step count
+                rollout = make_rollout(cfg, backend=args.backend,
+                                       unroll_steps=this_chunk)
             t0 = time.perf_counter()
             state = rollout(state)
             host_sync(state)
             dt_wall = time.perf_counter() - t0
-            done += chunk
+            done += this_chunk
             step_no = int(state.step)
 
             record = {
                 "event": "progress", "step": step_no,
-                "steps_per_sec": chunk / dt_wall,
-                "particle_steps_per_sec": chunk * cfg.n / dt_wall,
+                "steps_per_sec": this_chunk / dt_wall,
+                "particle_steps_per_sec": this_chunk * cfg.n / dt_wall,
             }
             if args.metrics_every and done % args.metrics_every == 0:
                 d = diag(state)

@@ -37,8 +37,9 @@ def _resolve_backend(backend: str) -> str:
     if backend not in _BACKENDS:
         raise ValueError(f"unknown backend {backend!r}; have {_BACKENDS}")
     if backend == "auto":
-        # pallas on real TPU, XLA cell list elsewhere
-        return "pallas" if jax.default_backend() in ("tpu", "axon") else "cell"
+        from ..utils.platform import auto_backend
+
+        return auto_backend()
     return backend
 
 

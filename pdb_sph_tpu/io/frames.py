@@ -21,19 +21,25 @@ import numpy as np
 from ..render import renderer
 
 
-def write_gif(path: str, frames_rgb: list[np.ndarray], fps: float = 30.0,
+def write_gif(path: str, frames_rgb, fps: float = 30.0,
               levels: int = 64) -> None:
     """Minimal animated GIF89a encoder (stdlib only) — the reference's demo
     artifacts are gifs (README.md:4-15). Quantizes to a `levels`-entry
     palette sampled from the first frame's dominant colors (the point-sprite
     scene is near-monochrome, so uniform luminance bins of the splat color
-    work well)."""
-    if not frames_rgb:
-        raise ValueError("no frames")
-    h, w, _ = frames_rgb[0].shape
+    work well). `frames_rgb` may be any iterable of (h, w, 3) uint8 arrays —
+    frames are streamed, never held all at once."""
+    import itertools
+
+    it = iter(frames_rgb)
+    try:
+        first = next(it)
+    except StopIteration:
+        raise ValueError("no frames") from None
+    h, w, _ = first.shape
 
     # palette: linear blend background -> splat color sampled from frame 0
-    f0 = frames_rgb[0].reshape(-1, 3).astype(np.float32)
+    f0 = first.reshape(-1, 3).astype(np.float32)
     lum = f0 @ np.float32([0.299, 0.587, 0.114])
     order = np.argsort(lum)
     idxs = np.linspace(0, len(order) - 1, levels).astype(int)
@@ -96,7 +102,7 @@ def write_gif(path: str, frames_rgb: list[np.ndarray], fps: float = 30.0,
                                     0x80 | (min_code - 1), 0, 0),
              pal.tobytes(),
              b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"]  # loop forever
-    for rgb in frames_rgb:
+    for rgb in itertools.chain([first], it):
         parts.append(b"\x21\xf9\x04\x04" + struct.pack("<H", delay) + b"\x00\x00")
         parts.append(b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00")
         compressed = lzw(quantize(rgb), min_code)
@@ -133,6 +139,33 @@ def write_png(path: str, rgb: np.ndarray) -> None:
         f.write(png)
 
 
+def read_png(path: str) -> np.ndarray:
+    """Decode a PNG written by write_png (8-bit RGB, filter 0 rows)."""
+    raw = open(path, "rb").read()
+    if raw[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError(f"{path}: not a PNG")
+    pos = 8
+    idat = b""
+    w = h = None
+    while pos + 8 <= len(raw):
+        ln = int.from_bytes(raw[pos:pos + 4], "big")
+        tag = raw[pos + 4:pos + 8]
+        data = raw[pos + 8:pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, bit, ctype = struct.unpack(">IIBB", data[:10])
+            if bit != 8 or ctype != 2:
+                raise ValueError(f"{path}: unsupported PNG (want 8-bit RGB)")
+        elif tag == b"IDAT":
+            idat += data
+        pos += 12 + ln
+    dec = zlib.decompress(idat)
+    stride = 1 + w * 3
+    arr = np.frombuffer(dec, np.uint8).reshape(h, stride)
+    if (arr[:, 0] != 0).any():
+        raise ValueError(f"{path}: non-zero PNG row filters unsupported")
+    return arr[:, 1:].reshape(h, w, 3).copy()
+
+
 class FrameWriter:
     """Asynchronous rasterize-and-write sink.
 
@@ -149,7 +182,9 @@ class FrameWriter:
         self.render_kwargs = render_kwargs
         self.gif_path = gif_path
         self.gif_fps = gif_fps
-        self._gif_frames: list[np.ndarray] = []
+        self._gif_files: list[str] = []   # frames stream from disk at close;
+                                          # holding RGB in RAM would grow
+                                          # unbounded on long runs
         self._q: queue.Queue = queue.Queue(maxsize=max_pending)
         self._err: BaseException | None = None
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -165,9 +200,10 @@ class FrameWriter:
             try:
                 rgb = renderer.render(pos, self.width, self.height,
                                       **self.render_kwargs)
-                write_png(os.path.join(self.out_dir, f"frame_{step:06d}.png"), rgb)
+                fname = os.path.join(self.out_dir, f"frame_{step:06d}.png")
+                write_png(fname, rgb)
                 if self.gif_path:
-                    self._gif_frames.append(rgb)
+                    self._gif_files.append(fname)
                 self.frames_written += 1
             except BaseException as e:  # surfaced on close()
                 self._err = e
@@ -182,8 +218,9 @@ class FrameWriter:
         self._worker.join()
         if self._err:
             raise RuntimeError("frame writer failed") from self._err
-        if self.gif_path and self._gif_frames:
-            write_gif(self.gif_path, self._gif_frames, fps=self.gif_fps)
+        if self.gif_path and self._gif_files:
+            write_gif(self.gif_path, (read_png(f) for f in self._gif_files),
+                      fps=self.gif_fps)
 
     def __enter__(self):
         return self

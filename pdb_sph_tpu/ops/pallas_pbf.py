@@ -98,6 +98,12 @@ def build_plan(cfg: SimConfig, sorted_cid: jax.Array) -> WindowPlan:
 
     c_first = sorted_cid[0::OWN][:num_chunks]                   # (num_chunks,)
     c_last = sorted_cid[OWN - 1::OWN][:num_chunks]
+    # A mixed chunk (real head, padding/parked tail) must plan its windows
+    # from its real span: an unclamped padding c_last (== num_nb_cells) would
+    # stretch every window across the entire inactive block. Because padding
+    # sorts last, clamping to the last real cell keeps windows tight, and the
+    # searchsorted below then naturally excludes all cid >= num_nb_cells.
+    c_last = jnp.minimum(c_last, jnp.int32(cfg.num_nb_cells - 1))
 
     # ascending (dy, dz) offsets in cell-id space
     offsets = jnp.array(
@@ -108,7 +114,9 @@ def build_plan(cfg: SimConfig, sorted_cid: jax.Array) -> WindowPlan:
     lo_cell = c_first[:, None] + offsets[None, :] - 1           # (num_chunks, 9)
     hi_cell = c_last[:, None] + offsets[None, :] + 1
     lo_cell = jnp.clip(lo_cell, 0, cfg.num_nb_cells)
-    hi_cell = jnp.clip(hi_cell, -1, cfg.num_nb_cells)
+    # cap at the last REAL cell id: hi_cell + 1 feeds searchsorted, and a cap
+    # of num_nb_cells would re-admit every padding/parked entry to the window
+    hi_cell = jnp.clip(hi_cell, -1, cfg.num_nb_cells - 1)
 
     start = jnp.searchsorted(sorted_cid, lo_cell.reshape(-1), side="left")
     end = jnp.searchsorted(sorted_cid, hi_cell.reshape(-1) + 1, side="left")

@@ -98,10 +98,17 @@ def _slab_of_zcell(pcfg: ParallelConfig, cfg: SimConfig, cz):
 
 
 def _slab_bounds(pcfg: ParallelConfig, cfg: SimConfig, d):
-    """First z-cell of slab d and of slab d+1 (as traced values)."""
+    """First z-cell of slab d and of slab d+1 (as traced values).
+
+    Slab ownership is cz * D // z_hi == d (see _slab_of_zcell), whose first
+    owned cell is ceil(d * z_hi / D) — floor here would overstate the slab
+    leftward and make the ghost selections send only ONE boundary row when
+    z_hi % D != 0, breaking the two-row exactness invariant.
+    """
     z_hi = pcfg.z_cells_hi or cfg.nb_grid_width
-    lo = jnp.int32(d) * z_hi // pcfg.n_devices
-    hi = (jnp.int32(d) + 1) * z_hi // pcfg.n_devices
+    D = pcfg.n_devices
+    lo = (jnp.int32(d) * z_hi + D - 1) // D
+    hi = ((jnp.int32(d) + 1) * z_hi + D - 1) // D
     return lo, hi
 
 

@@ -9,18 +9,15 @@ config updates (and clear any backend cache) instead.
 """
 
 import os
+import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+from pdb_sph_tpu.utils.platform import force_cpu_devices  # noqa: E402
+
 jax.config.update("jax_enable_x64", False)
-
-from jax._src import xla_bridge as _xb  # noqa: E402
-
-if hasattr(_xb.backends, "cache_clear"):
-    _xb.backends.cache_clear()
-
+force_cpu_devices(8)
 assert jax.device_count() == 8, jax.devices()
