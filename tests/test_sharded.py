@@ -19,8 +19,8 @@ def mesh():
     return sharded.make_mesh(D)
 
 
-def _run_sharded(cfg, state, mesh, steps, backend="cell"):
-    pcfg = sharded.ParallelConfig.create(cfg, D, slack=4.0)
+def _run_sharded(cfg, state, mesh, steps, backend="cell", slack=4.0):
+    pcfg = sharded.ParallelConfig.create(cfg, D, slack=slack)
     step = sharded.make_sharded_step(cfg, pcfg, mesh, backend=backend,
                                      pallas_interpret=(backend == "pallas"))
     x, v, ids = sharded.distribute(cfg, pcfg, state, mesh)
@@ -63,6 +63,43 @@ def test_sharded_pallas_matches_single_device(mesh):
     assert stats[:, 0].sum() == cfg.n
     np.testing.assert_allclose(np.asarray(got.x), want_x, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got.v), want_v, rtol=1e-3, atol=2e-3)
+
+
+def test_sharded_dense_fluid_across_slab_boundary(mesh):
+    """Ghost exactness where it actually matters: a rest-density block
+    straddling a slab boundary. Sparse scenes make lambda ~ 0 and hide
+    ghost-row mistakes (e.g. the floor-vs-ceil slab-bounds bug); at
+    rho ~ rho0 a missing ghost row shifts positions by ~1e-4/step."""
+    import jax.numpy as jnp
+
+    from pdb_sph_tpu.state import make_state
+
+    cfg = default_config(n=512, cell_capacity=256)
+    # slab boundaries for z_hi=25, D=8 fall at z-cells ceil(25k/8): the
+    # slab1/slab2 edge is cell 7 (z=0.7). Rest density needs n/V = 80000:
+    # a 0.186-edge cube. Straddle z=0.7 with it.
+    rng = np.random.default_rng(7)
+    edge = (cfg.n / 80000.0) ** (1.0 / 3.0)
+    x = rng.uniform(0.0, edge, size=(cfg.n, 3)).astype(np.float32)
+    x[:, 2] += 0.7 - edge / 2.0
+    x[:, 0] += 0.9
+    x[:, 1] += 0.9
+    st = make_state(jnp.asarray(x))
+
+    for backend in ("cell", "pallas"):
+        got, stats = _run_sharded(cfg, st, mesh, steps=2, backend=backend,
+                                  slack=8.0)
+        want_x, want_v = _run_single(cfg, st, steps=2)
+        assert stats[:, 1:].sum() == 0, f"{backend}: overflow"
+        # At rest density a handful of knife-edge particles bifurcate by
+        # ~1e-4 under ANY summation-order change (cell-vs-dense shows the
+        # same noise), so discriminate on the *population*: a missing ghost
+        # row would shift every boundary-row particle (~20% of the block),
+        # while reordering noise touches <1%.
+        d = np.abs(np.asarray(got.x) - want_x)
+        frac = (d > 2e-5).mean()
+        assert d.max() < 5e-4, f"{backend}: max dev {d.max()}"
+        assert frac < 0.03, f"{backend}: {frac:.1%} of coords deviate"
 
 
 def test_migration_moves_particles_between_shards(mesh):
