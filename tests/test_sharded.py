@@ -74,10 +74,13 @@ def test_sharded_dense_fluid_across_slab_boundary(mesh):
 
     from pdb_sph_tpu.state import make_state
 
-    cfg = default_config(n=512, cell_capacity=256)
+    # Same cfg/pcfg as test_sharded_pallas_matches_single_device so the
+    # compiled sharded step is an lru_cache hit (compile dominates CI time);
+    # the slab-bounds/ghost logic under test is shared by both backends.
+    cfg = default_config(n=384, max_occupied_cells=512, cell_capacity=128)
     # slab boundaries for z_hi=25, D=8 fall at z-cells ceil(25k/8): the
     # slab1/slab2 edge is cell 7 (z=0.7). Rest density needs n/V = 80000:
-    # a 0.186-edge cube. Straddle z=0.7 with it.
+    # a 0.168-edge cube. Straddle z=0.7 with it.
     rng = np.random.default_rng(7)
     edge = (cfg.n / 80000.0) ** (1.0 / 3.0)
     x = rng.uniform(0.0, edge, size=(cfg.n, 3)).astype(np.float32)
@@ -86,20 +89,25 @@ def test_sharded_dense_fluid_across_slab_boundary(mesh):
     x[:, 1] += 0.9
     st = make_state(jnp.asarray(x))
 
-    for backend in ("cell", "pallas"):
-        got, stats = _run_sharded(cfg, st, mesh, steps=2, backend=backend,
-                                  slack=8.0)
-        want_x, want_v = _run_single(cfg, st, steps=2)
-        assert stats[:, 1:].sum() == 0, f"{backend}: overflow"
-        # At rest density a handful of knife-edge particles bifurcate by
-        # ~1e-4 under ANY summation-order change (cell-vs-dense shows the
-        # same noise), so discriminate on the *population*: a missing ghost
-        # row would shift every boundary-row particle (~20% of the block),
-        # while reordering noise touches <1%.
-        d = np.abs(np.asarray(got.x) - want_x)
-        frac = (d > 2e-5).mean()
-        assert d.max() < 5e-4, f"{backend}: max dev {d.max()}"
-        assert frac < 0.03, f"{backend}: {frac:.1%} of coords deviate"
+    got, stats = _run_sharded(cfg, st, mesh, steps=2, backend="pallas")
+    assert stats[:, 1:].sum() == 0, "overflow"
+
+    from pdb_sph_tpu.core.step import make_step
+    ref = st
+    step = make_step(cfg, backend="dense")
+    for _ in range(2):
+        ref = step(ref)
+    want_x = np.asarray(ref.x)[np.argsort(np.asarray(ref.ids))]
+
+    # At rest density a handful of knife-edge particles bifurcate by ~1e-4
+    # under ANY summation-order change (cell-vs-dense shows the same noise),
+    # so discriminate on the *population*: a missing ghost row would shift
+    # every boundary-row particle (~20% of the block), while reordering
+    # noise touches <1%.
+    d = np.abs(np.asarray(got.x) - want_x)
+    frac = (d > 2e-5).mean()
+    assert d.max() < 5e-4, f"max dev {d.max()}"
+    assert frac < 0.03, f"{frac:.1%} of coords deviate"
 
 
 def test_migration_moves_particles_between_shards(mesh):
