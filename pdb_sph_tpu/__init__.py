@@ -10,17 +10,22 @@ program, z-slab domain decomposition over a device mesh).
 """
 
 from .config import SimConfig, default_config, blowup_config, SCENES
-from .state import SimState, make_state
+from .state import SimState, StepDiagnostics, make_state
 from .models.scenes import spawn
+from .core.step import make_step, make_rollout, diagnostics_fn
 
 __version__ = "0.1.0"
 
 __all__ = [
     "SimConfig",
     "SimState",
+    "StepDiagnostics",
     "SCENES",
     "default_config",
     "blowup_config",
     "make_state",
     "spawn",
+    "make_step",
+    "make_rollout",
+    "diagnostics_fn",
 ]

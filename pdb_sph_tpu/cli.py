@@ -39,6 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="constraint solver iterations (reference: 3)")
     p.add_argument("--cell-size", type=float, default=0.2)
     p.add_argument("--grid-width", type=int, default=40)
+    p.add_argument("--cell-capacity", type=int, default=0,
+                   help="neighbor-table slots per cell (0 = scene default; "
+                        "raise for extreme compression)")
+    p.add_argument("--max-occ", type=int, default=0,
+                   help="neighbor-table rows (0 = derived from n)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--backend", choices=("auto", "pallas", "cell", "dense"),
                    default="auto")
@@ -79,13 +84,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 def config_from_args(args) -> SimConfig:
     make = blowup_config if args.scene == "blowup" else default_config
-    return make(
+    overrides = dict(
         n=args.n,
         dt=args.dt,
         solver_iters=args.iters,
         cell_size=args.cell_size,
         grid_width=args.grid_width,
     )
+    if args.cell_capacity:
+        overrides["cell_capacity"] = args.cell_capacity
+    if args.max_occ:
+        overrides["max_occupied_cells"] = args.max_occ
+    return make(**overrides)
 
 
 def main(argv=None) -> int:
