@@ -62,6 +62,14 @@ class ParallelConfig:
 
     @staticmethod
     def create(cfg: SimConfig, n_devices: int, slack: float = 1.6):
+        if n_devices == 1:
+            # degenerate mesh: no imbalance, no neighbors to exchange with —
+            # minimal buffers keep the sorts near the plain-path size
+            cap = int(np.ceil(cfg.n / 128) * 128)
+            return ParallelConfig(
+                n_devices=1, capacity=cap, mig_capacity=128,
+                ghost_capacity=128, z_cells_hi=0,
+            )
         cap = int(np.ceil(cfg.n * slack / n_devices / 128) * 128)
         # fluid occupies z in [0, wall] (+ splash); slabs cover that range
         z_hi = min(
@@ -276,11 +284,13 @@ def _shard_step(cfg: SimConfig, pcfg: ParallelConfig, backend: str,
     # ---------------- frozen ghost packing + neighbor structure -------
     lo, hi = _slab_bounds(pcfg, cfg, me)
     cz = _zcell(cfg, p)
+    # edge shards have no neighbor on that side: selecting their boundary
+    # rows anyway would waste ghost capacity and fire spurious overflow
     ghost_l_idx, ghost_l_ok, gover_l = _pack_rows(
-        active & (cz < lo + 2), pcfg.ghost_capacity
+        active & (cz < lo + 2) & (me > 0), pcfg.ghost_capacity
     )
     ghost_r_idx, ghost_r_ok, gover_r = _pack_rows(
-        active & (cz >= hi - 2), pcfg.ghost_capacity
+        active & (cz >= hi - 2) & (me < D - 1), pcfg.ghost_capacity
     )
     ghost_overflow = gover_l + gover_r
 
@@ -386,6 +396,38 @@ def make_sharded_step(cfg: SimConfig, pcfg: ParallelConfig, mesh: Mesh,
         check_vma=(backend != "pallas"),
     )
     return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=32)
+def make_sharded_rollout(cfg: SimConfig, pcfg: ParallelConfig, mesh: Mesh,
+                         backend: str = "cell",
+                         pallas_interpret: bool = False,
+                         unroll_steps: int = 1):
+    """N sharded steps per device call via lax.scan — same amortization as
+    core.step.make_rollout (the tunneled runtime charges ~30-60 ms per jitted
+    call). Returns fn(x, v, ids) -> (x, v, ids, last_stats)."""
+    if backend not in ("cell", "pallas"):
+        raise ValueError(f"unknown sharded backend {backend!r}")
+    body = jax.shard_map(
+        partial(_shard_step, cfg, pcfg, backend, pallas_interpret),
+        mesh=mesh,
+        in_specs=(P("z"), P("z"), P("z")),
+        out_specs=(P("z"), P("z"), P("z"), P("z")),
+        check_vma=(backend != "pallas"),
+    )
+
+    def roll(x, v, ids):
+        def scan_body(carry, _):
+            x, v, ids = carry
+            x, v, ids, stats = body(x, v, ids)
+            return (x, v, ids), stats
+
+        (x, v, ids), stats = jax.lax.scan(
+            scan_body, (x, v, ids), None, length=unroll_steps
+        )
+        return x, v, ids, stats[-1]
+
+    return jax.jit(roll)
 
 
 def distribute(cfg: SimConfig, pcfg: ParallelConfig, state: SimState,
