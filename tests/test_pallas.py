@@ -71,22 +71,23 @@ def test_window_plan_covers_all_pairs():
     plan = pallas_pbf.build_plan(cfg, sc)
     ps = np.asarray(p)[np.asarray(order_pad[:n])]
 
-    starts = np.asarray(plan.chunk_start)[:, 0, :]
-    los = np.asarray(plan.chunk_lo)[:, 0, :]
-    his = np.asarray(plan.chunk_hi)[:, 0, :]
+    segs = np.asarray(plan.seg_src)[:, 0, :]
 
     d = ps[:, None, :] - ps[None, :, :]
     rd2 = (d * d).sum(-1)
     within = rd2 < cfg.h2
 
     for c in range(n_pad // pallas_pbf.OWN):
-        t_total = starts[c, -1]
+        nblocks = segs[c, pallas_pbf.SEGW - 1]
         covered = np.zeros(n_pad + pallas_pbf.CC, dtype=int)
-        for t in range(t_total):
-            s, lo, hi = starts[c, t], los[c, t], his[c, t]
-            covered[s + lo : s + hi] += 1
-        # no double counting
-        assert covered.max() <= 1, f"chunk {c}: candidate counted twice"
+        for s in range(nblocks * pallas_pbf.SPB):
+            src = segs[c, s]
+            assert src % pallas_pbf.SEG == 0, f"chunk {c}: unaligned seg"
+            assert 0 <= src <= n_pad, f"chunk {c}: seg out of range"
+            covered[src : src + pallas_pbf.SEG] += 1
+        # no double counting of REAL lanes (the sentinel pad zone at
+        # [n_pad, n_pad+CC) absorbs every dead slot, repeats allowed there)
+        assert covered[:n_pad].max() <= 1, f"chunk {c}: candidate counted twice"
         # full coverage of true neighbors of every own particle in the chunk
         for i in range(c * pallas_pbf.OWN, min((c + 1) * pallas_pbf.OWN, n)):
             js = np.nonzero(within[i][:n])[0]
