@@ -84,8 +84,25 @@ class SimConfig:
         return self.nb_cell_size if self.nb_cell_size > 0.0 else self.h
 
     @property
+    def nb_domain_extent(self) -> float:
+        """Extent of the *internal* neighbor grid.
+
+        The reference hashes over its full 8-unit grid domain (40 cells of
+        0.2, src/main.cpp:42-43) although the box walls confine the fluid to
+        [0, 2] (src/FluidSimulator.cu:358) — 98% of those cells can never
+        hold a particle. The internal grid covers the box plus a few cells
+        of margin instead; `cell_ids` clips coordinates into the grid, and
+        clipping is monotone and 1-Lipschitz in cell units, so two particles
+        within h (== one cell) still land within one cell of each other:
+        the 27-stencil's coverage guarantee is preserved exactly. A 6x
+        smaller cell count makes the plan builder's sentinel sort cheap.
+        """
+        return min(self.domain_extent, self.wall + 4.0 * self.nb_cell)
+
+    @property
     def nb_grid_width(self) -> int:
-        return max(1, int(round(self.domain_extent / self.nb_cell)))
+        return max(1, int(math.ceil(self.nb_domain_extent / self.nb_cell
+                                    - 1e-9)))
 
     @property
     def num_nb_cells(self) -> int:

@@ -14,6 +14,16 @@ is past the wall and its velocity component is nonzero:
 
 The whole thing is elementwise over particles, so on TPU it is a handful of
 fused VPU ops — no branching, the `where` chains mirror the CUDA `if`s.
+
+Two deliberate divergences from the reference (documented latent bug,
+SURVEY.md section 3 spirit): the reference's wall test fires on `v != 0`,
+so a particle that is *outside* but moving back inward (possible when a
+late wall's cross-axis rewind ejected it through an earlier-checked wall)
+gets mirrored back OUT — observed on hardware as a particle oscillating
+around -1.4 with ever-damped velocity. Here a bounce requires *outward*
+velocity, which is identical for every genuine crossing (the rewind and
+damping never flip another axis's sign), and a final clamp guarantees the
+box invariant even for pathological multi-wall states.
 """
 
 from __future__ import annotations
@@ -31,8 +41,7 @@ def _bounce(cfg: SimConfig, pos, vel, axis: int, upper: bool):
     w = jnp.float32(cfg.wall if upper else 0.0)
     cd = jnp.float32(cfg.collision_damp)
     pa, va = pos[:, axis], vel[:, axis]
-    hit = (pa > w) if upper else (pa < w)
-    hit = hit & (va != 0.0)
+    hit = (pa > w) & (va > 0.0) if upper else (pa < w) & (va < 0.0)
 
     t_coll = (pa - w) / jnp.where(va == 0.0, 1.0, va)
     pos_rw = pos - vel * ((1.0 - cd) * t_coll)[:, None]
@@ -53,4 +62,6 @@ def finalize(cfg: SimConfig, p: jax.Array, last_frame: jax.Array):
     v = (p - last_frame) / jnp.float32(cfg.dt)
     for axis, upper in _WALL_ORDER:
         p, v = _bounce(cfg, p, v, axis, upper)
+    # box-invariant safety net (see module docstring)
+    p = jnp.clip(p, 0.0, jnp.float32(cfg.wall))
     return p, v

@@ -22,18 +22,18 @@ sort instead of translating the CUDA cell loops:
     stream of 128-lane segments, cutting paid lanes ~20% vs rounding each
     window up to a full candidate chunk.
   * The kernel DMAs CC/128 segments per (OWN, CC) candidate block with an
-    NBUF-deep pipeline and computes dense pair blocks on the VPU; the
-    density pass computes rd2 on the *MXU* via
-    |pi|^2 - 2 pi.pj + |pj|^2  (one (OWN,3)@(3,CC) f32 dot; f32 keeps
-    ~1e-6 absolute rd2 accuracy where bf16 would not), which measures
-    ~17% faster than the VPU delta chain. The project pass keeps VPU
-    deltas: it needs (pi - pj) vectors for the delta-p accumulation anyway.
+    NBUF-deep pipeline and computes dense pair blocks on the VPU. Both
+    passes use exact VPU coordinate deltas for rd2. (An MXU variant via
+    |pi|^2 - 2 pi.pj + |pj|^2 was tried and REVERTED: the TPU-default
+    bf16 dot leaves ~5e-2 rd2 error — 5x h^2, the fluid never settles —
+    and at the f32-accurate Precision.HIGHEST the x6-pass dot is slower
+    than the delta chain it replaces. docs/PERF.md has the numbers.)
 
-Candidates travel as (4, n_pad + CC) arrays (Mosaic DMA needs the sublane
-dim to divide the 8-tile): the density pass streams rows (x, y, z, |p|^2)
-— the squared norm feeds its MXU rd2 — and the project pass streams rows
-(x, y, z, lambda). The constraint iterations ping-pong these against the
-(n_pad, 5) own-side layout with no scatters or gathers.
+Candidates travel as one (4, n_pad + CC) array with rows (x, y, z,
+lambda) (Mosaic DMA needs the sublane dim to divide the 8-tile). The
+constraint iterations ping-pong it against the (n_pad, 4) own-side layout
+with no scatters or gathers; lambda is spliced into row/column 3 between
+the two passes.
 
 Perf history and rejected alternatives: docs/PERF.md.
 """
@@ -55,19 +55,24 @@ from . import smoothing
 # Block geometry, env-overridable for autotuning sweeps.
 OWN = int(os.environ.get("PBF_OWN", "64"))    # own-chunk size (accum rows)
 CC = int(os.environ.get("PBF_CC", "512"))     # candidate-block lane width
-NBUF = int(os.environ.get("PBF_NBUF", "4"))   # DMA pipeline depth: the 2.5 KiB
-                                              # segment copies are latency-
-                                              # bound, so keep several blocks
-                                              # in flight
+NBUF = int(os.environ.get("PBF_NBUF", "6"))   # DMA pipeline depth in BLOCKS:
+                                              # the 2 KiB segment copies are
+                                              # latency-bound and the loop
+                                              # consumes 2 blocks/iteration,
+                                              # so keep >= 4 in flight
 GB = int(os.environ.get("PBF_GB", "4"))       # own-chunks per grid step
                                               # (amortizes Mosaic's per-grid-
                                               # step pipeline cost)
-SEG = 128                                     # candidate segment width: the
-                                              # Mosaic DMA lane-alignment unit
+SEG = int(os.environ.get("PBF_SEG", "128"))   # candidate segment width: a
+                                              # multiple of the 128-lane Mosaic
+                                              # DMA alignment unit; larger SEG
+                                              # = fewer DMA issues but coarser
+                                              # window quantization
 SPB = CC // SEG                               # segments per candidate block
-MAX_SEG = 252                                 # per-own-chunk segment capacity
-                                              # (32256 candidate lanes)
-KW = 32                                       # per-window segment cap (4096
+# per-own-chunk segment capacity (~31744 lanes), rounded to an even block
+# count so the 2-block loop's padded table fits SEGW-1 slots
+MAX_SEG = (31744 // SEG) // (2 * SPB) * (2 * SPB)
+KW = 4096 // SEG                              # per-window segment cap (4096
                                               # lanes); 9*KW must cover MAX_SEG
 SEGW = 256                                    # SMEM seg-table width; last lane
                                               # holds T (candidate block count)
@@ -78,13 +83,10 @@ SEGW = 256                                    # SMEM seg-table width; last lane
 # a 1e9 sentinel that residual times the coordinate became a visible uniform
 # drift (~2e-5 per step); at -100 it is ~1e-13.
 SENTINEL = -100.0
-# rd2 floors. The project pass computes rd2 from exact coordinate deltas, so
-# only the self pair (rd2 == 0) needs lifting for a finite rsqrt. The density
-# pass computes rd2 on the MXU via |pi|^2 - 2 pi.pj + |pj|^2, whose f32
-# cancellation noise is ~|p|^2 * 2^-22 ~ 3e-6 and can be NEGATIVE for
-# coincident particles — the floor must sit above it.
-PROJ_EPS = 1e-16
-DENS_EPS = 1e-5
+# rd2 floor: both passes compute rd2 from exact coordinate deltas, so only
+# the self pair (rd2 == 0) needs lifting for a finite rsqrt; the lift is far
+# below any real pair distance.
+EPS = 1e-16
 
 
 class SegPlan(NamedTuple):
@@ -227,26 +229,14 @@ def build_plan(cfg: SimConfig, sorted_cid: jax.Array) -> SegPlan:
     return SegPlan(seg_src=seg_src, n_overflow=n_overflow)
 
 
-def _cand_density(pT: jax.Array, width: int) -> jax.Array:
-    """(n_pad, 5) own-layout -> (4, width) density candidate rows
-    (x, y, z, |p|^2), sentinel margin. One fused XLA transpose per solver
-    pass (~MBs of HBM traffic) buys zero in-kernel relayouts: a transpose
-    inside the kernel costs ~2.5 us flat on the VPU. The margin's |p|^2 is
-    the sentinel point's (3 * 100^2) so the MXU rd2 path kills pad pairs.
-    """
+def _p4_from_pT(pT: jax.Array, width: int) -> jax.Array:
+    """(n_pad, 4) own-layout -> (4, width) candidate rows (x, y, z,
+    lambda), sentinel margin (lambda 0 there). One fused XLA transpose per
+    solver iteration (~MBs of HBM traffic) buys zero in-kernel relayouts:
+    a transpose inside the kernel costs ~2.5 us flat on the VPU."""
     n_pad = pT.shape[0]
     p4 = jnp.full((4, width), SENTINEL, jnp.float32)
-    p4 = p4.at[:, :n_pad].set(pT[:, (0, 1, 2, 4)].T)
-    p4 = p4.at[3, n_pad:].set(3.0 * SENTINEL * SENTINEL)
-    return p4
-
-
-def _cand_project(pT: jax.Array, width: int) -> jax.Array:
-    """(n_pad, 5) own-layout -> (4, width) project candidate rows
-    (x, y, z, lambda), sentinel margin (lambda 0 there)."""
-    n_pad = pT.shape[0]
-    p4 = jnp.full((4, width), SENTINEL, jnp.float32)
-    p4 = p4.at[:, :n_pad].set(pT[:, 0:4].T)
+    p4 = p4.at[:, :n_pad].set(pT.T)
     p4 = p4.at[3, n_pad:].set(0.0)
     return p4
 
@@ -258,12 +248,27 @@ def _cand_project(pT: jax.Array, width: int) -> jax.Array:
 def _pair_loop(segs_ref, hbm_ref, buf, sem, compute_chunk, init, g: int = 0):
     """Shared pipelined candidate streaming loop for own-chunk g.
 
-    Per candidate block t, SPB segment DMAs assemble a (5, CC) block in
-    buf[slot]; compute_chunk(cand5, acc) -> acc runs the dense pair math.
-    No validity masking exists at this level — the plan guarantees every
-    lane is either a once-counted candidate or a pair the rd2 clamp kills.
+    Each fori iteration consumes TWO (4, CC) candidate blocks: Mosaic
+    does not software-pipeline across fori_loop iterations, so a single
+    block per iteration serializes the whole ~19-op dependency chain at op
+    *latency* (~350 ns/block measured); two independent chains interleave
+    at issue throughput (~100-120 ns/block; four spill and get slower).
+    The ring slots are dynamic indices; static-slot variants (full NBUF
+    rounds, or a lax.switch over slot pairs) both measured SLOWER than
+    paying buf[slot]'s dynamic-slice tax — rounds add sentinel-block pair
+    math (the count pads to round granularity) and Mosaic's switch costs
+    more than it saves (docs/PERF.md). compute_chunk(a, b, acc) -> acc.
+
+    An odd block count rounds up to even: the padded block's segment
+    slots already point at the sentinel pad zone (the plan fills every
+    dead slot with n_pad), so it streams sentinel positions and
+    contributes exactly zero. No validity masking exists at this level —
+    the plan guarantees every lane is either a once-counted candidate or
+    a pair the rd2 clamp kills.
     """
     total = segs_ref[0, g, SEGW - 1]
+    iters = (total + 1) // 2
+    padded = iters * 2
 
     def issue(slot, t):
         for j in range(SPB):
@@ -282,61 +287,70 @@ def _pair_loop(segs_ref, hbm_ref, buf, sem, compute_chunk, init, g: int = 0):
                 sem.at[slot, j],
             ).wait()
 
-    # NBUF-deep prologue: the copies are ~2.5 KiB, so completion is dominated
-    # by DMA latency, not bandwidth — keep several blocks in flight to hide
-    # it behind the ~600 ns of pair math per block.
-    for t in range(NBUF - 1):
-        @pl.when(t < total)
+    # (NBUF-2)-block lookahead prologue: the copies are ~2 KiB, so
+    # completion is dominated by DMA latency, not bandwidth.
+    for t in range(NBUF - 2):
+        @pl.when(t < padded)
         def _(t=t):
             issue(t, t)
 
-    def body(t, acc):
-        slot = jax.lax.rem(t, NBUF)
+    def body(i, acc):
+        ta = i * 2
+        slot_a = jax.lax.rem(ta, NBUF)
+        slot_b = jax.lax.rem(ta + 1, NBUF)
 
-        @pl.when(t + NBUF - 1 < total)
+        @pl.when(ta + NBUF - 2 < padded)
         def _():
-            issue(jax.lax.rem(t + NBUF - 1, NBUF), t + NBUF - 1)
+            issue(jax.lax.rem(ta + NBUF - 2, NBUF), ta + NBUF - 2)
 
-        wait(slot)
-        return compute_chunk(buf[slot], acc)
+        @pl.when(ta + NBUF - 1 < padded)
+        def _():
+            issue(jax.lax.rem(ta + NBUF - 1, NBUF), ta + NBUF - 1)
 
-    return jax.lax.fori_loop(0, total, body, init)
+        wait(slot_a)
+        wait(slot_b)
+        return compute_chunk(buf[slot_a], buf[slot_b], acc)
+
+    return jax.lax.fori_loop(0, iters, body, init)
 
 
 def _density_kernel(cfg: SimConfig, segs_ref, own_ref, hbm_ref, lam_ref,
                     buf, sem):
     h = jnp.float32(cfg.h)
     h2 = jnp.float32(cfg.h2)
-    eps = jnp.float32(DENS_EPS)
+    eps = jnp.float32(EPS)
     l2 = jnp.float32(cfg.lambda_grad_coeff * cfg.lambda_grad_coeff)
 
     # Select-free formulation, algebraically identical to
     # smoothing.density_terms (the pallas<->cell parity tests enforce it):
     # the min-at-h^2 clamp zeroes both t and (h - rd) for dead lanes, and
     # the constant scales (poly6 norm, the squared lambda gradient
-    # coefficient) are applied once after the stream loop. rd2 comes from
-    # the MXU as |pi|^2 - 2 pi.pj + |pj|^2 — measured ~17% faster than the
-    # VPU delta chain; the max-at-DENS_EPS floor absorbs both the self pair
-    # and the f32 cancellation noise (which can be negative). r is
+    # coefficient) are applied once after the stream loop. The max-at-EPS
+    # floor keeps the self pair (rd2 == 0) finite through rsqrt. r is
     # rd2 * rsqrt(rd2): sqrt costs ~2x rsqrt+mul on the VPU.
     for g in range(GB):
         sl = slice(g * OWN, (g + 1) * OWN)
-        own3 = own_ref[sl, 0:3]               # (OWN, 3) matmul lhs — no
-        osq = own_ref[sl, 4:5]                # relayout: own side rides in
-                                              # the transposed (n_pad, 5)
+        ox = own_ref[sl, 0:1]                 # (OWN, 1) — no relayout: the
+        oy = own_ref[sl, 1:2]                 # own side rides in the
+        oz = own_ref[sl, 2:3]                 # transposed (n_pad, 4)
 
-        def compute(cand, acc, own3=own3, osq=osq):
-            rho_b, g2_b = acc
-            m = jax.lax.dot_general(
-                own3, cand[0:3, :], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)    # (OWN, CC) pi.pj
-            a = osq + cand[3:4, :]                     # |pi|^2 + |pj|^2
-            rd2 = jnp.maximum(jnp.minimum(a - 2.0 * m, h2), eps)
+        def one(cand, ox=ox, oy=oy, oz=oz):
+            dx = ox - cand[0:1, :]            # (OWN, CC)
+            dy = oy - cand[1:2, :]
+            dz = oz - cand[2:3, :]
+            rd2 = jnp.maximum(jnp.minimum(dx * dx + dy * dy + dz * dz, h2),
+                              eps)
             t = h2 - rd2
             u = h - rd2 * jax.lax.rsqrt(rd2)
             t2 = t * t
             u2 = u * u
-            return rho_b + t2 * t, g2_b + (u2 * u2) * rd2
+            return t2 * t, (u2 * u2) * rd2
+
+        def compute(cand_a, cand_b, acc):
+            rho_b, g2_b = acc
+            ra, ga = one(cand_a)
+            rb, gb = one(cand_b)
+            return rho_b + (ra + rb), g2_b + (ga + gb)
 
         zero = jnp.zeros((OWN, CC), jnp.float32)
         rho_b, g2_b = _pair_loop(segs_ref, hbm_ref, buf, sem, compute,
@@ -351,7 +365,7 @@ def _project_kernel(cfg: SimConfig, segs_ref, own_ref, hbm_ref, out_ref,
                     buf, sem):
     h = jnp.float32(cfg.h)
     h2 = jnp.float32(cfg.h2)
-    eps = jnp.float32(PROJ_EPS)
+    eps = jnp.float32(EPS)
     k_proj = jnp.float32(-cfg.spiky_grad_coeff * cfg.inv_rho0)
     s_corr = jnp.float32(cfg.s_corr)
 
@@ -368,8 +382,7 @@ def _project_kernel(cfg: SimConfig, segs_ref, own_ref, hbm_ref, out_ref,
         oz = own_ref[sl, 2:3]
         olam = own_ref[sl, 3:4] + s_corr      # lambda_i + s_corr, hoisted
 
-        def compute(cand, acc, ox=ox, oy=oy, oz=oz, olam=olam):
-            dpx_b, dpy_b, dpz_b = acc
+        def one(cand, ox=ox, oy=oy, oz=oz, olam=olam):
             dx = ox - cand[0:1, :]            # (OWN, CC)
             dy = oy - cand[1:2, :]
             dz = oz - cand[2:3, :]
@@ -377,21 +390,23 @@ def _project_kernel(cfg: SimConfig, segs_ref, own_ref, hbm_ref, out_ref,
                               eps)
             u = h - rd2 * jax.lax.rsqrt(rd2)
             s = (u * u) * (olam + cand[3:4, :])       # (OWN, CC)
-            return dpx_b + s * dx, dpy_b + s * dy, dpz_b + s * dz
+            return s * dx, s * dy, s * dz
+
+        def compute(cand_a, cand_b, acc):
+            dpx_b, dpy_b, dpz_b = acc
+            xa, ya, za = one(cand_a)
+            xb, yb, zb = one(cand_b)
+            return (dpx_b + (xa + xb), dpy_b + (ya + yb),
+                    dpz_b + (za + zb))
 
         zero = jnp.zeros((OWN, CC), jnp.float32)
         dpx_b, dpy_b, dpz_b = _pair_loop(segs_ref, hbm_ref, buf, sem,
                                          compute, (zero, zero, zero), g=g)
         ksum = functools.partial(jnp.sum, axis=1, keepdims=True)
-        nx = ox + k_proj * ksum(dpx_b)
-        ny = oy + k_proj * ksum(dpy_b)
-        nz = oz + k_proj * ksum(dpz_b)
-        out_ref[sl, 0:1] = nx
-        out_ref[sl, 1:2] = ny
-        out_ref[sl, 2:3] = nz
+        out_ref[sl, 0:1] = ox + k_proj * ksum(dpx_b)
+        out_ref[sl, 1:2] = oy + k_proj * ksum(dpy_b)
+        out_ref[sl, 2:3] = oz + k_proj * ksum(dpz_b)
         out_ref[sl, 3:4] = olam - s_corr
-        # refresh |p|^2 for the next density pass's MXU rd2
-        out_ref[sl, 4:5] = nx * nx + ny * ny + nz * nz
 
 
 # ---------------------------------------------------------------------------
@@ -401,7 +416,7 @@ def _project_kernel(cfg: SimConfig, segs_ref, own_ref, hbm_ref, out_ref,
 def _common_specs():
     seg_spec = pl.BlockSpec((1, GB, SEGW), lambda i: (i, 0, 0),
                             memory_space=pltpu.SMEM)
-    own_spec = pl.BlockSpec((GB * OWN, 5), lambda i: (i, 0),
+    own_spec = pl.BlockSpec((GB * OWN, 4), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     hbm_spec = pl.BlockSpec(memory_space=pl.ANY)
     scratch = [
@@ -419,7 +434,7 @@ def _segs_batched(plan: SegPlan):
 
 def density_pass(cfg: SimConfig, pT: jax.Array, cand: jax.Array,
                  plan: SegPlan, interpret: bool = False) -> jax.Array:
-    """(pT (n_pad, 5), cand (4, width) rows x,y,z,|p|^2) -> lambda (n_pad, 1)."""
+    """(pT (n_pad, 4), cand (4, width) rows x,y,z,lambda) -> lambda (n_pad, 1)."""
     n_pad = pT.shape[0]
     seg_spec, own_spec, hbm_spec, scratch = _common_specs()
     return pl.pallas_call(
@@ -437,31 +452,28 @@ def density_pass(cfg: SimConfig, pT: jax.Array, cand: jax.Array,
 def project_pass(cfg: SimConfig, pT: jax.Array, cand: jax.Array,
                  plan: SegPlan, interpret: bool = False) -> jax.Array:
     """(pT with lambda column, cand (4, width) rows x,y,z,lambda) ->
-    new pT (n_pad, 5)."""
+    new pT (n_pad, 4)."""
     n_pad = pT.shape[0]
     seg_spec, own_spec, hbm_spec, scratch = _common_specs()
     return pl.pallas_call(
         functools.partial(_project_kernel, cfg),
         grid=(n_pad // (OWN * GB),),
         in_specs=[seg_spec, own_spec, hbm_spec],
-        out_specs=pl.BlockSpec((GB * OWN, 5), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((GB * OWN, 4), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, 5), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
         scratch_shapes=scratch,
         interpret=interpret,
     )(_segs_batched(plan), pT, cand)
 
 
 def make_pT(cfg: SimConfig, p_sorted: jax.Array, n_pad: int) -> jax.Array:
-    """(n, 3) sorted positions -> (n_pad, 5) own-side layout with zero
-    lambda and precomputed |p|^2; padding rows carry the sentinel point."""
+    """(n, 3) sorted positions -> (n_pad, 4) own-side layout with zero
+    lambda; padding rows carry the sentinel point."""
     n = p_sorted.shape[0]
-    pT = jnp.full((n_pad, 5), SENTINEL, jnp.float32)
+    pT = jnp.full((n_pad, 4), SENTINEL, jnp.float32)
     pT = pT.at[:n, 0:3].set(p_sorted)
-    pT = pT.at[:, 3].set(0.0)
-    sq = jnp.sum(p_sorted * p_sorted, axis=1)
-    pad_sq = jnp.full((n_pad - n,), 3.0 * SENTINEL * SENTINEL, jnp.float32)
-    return pT.at[:, 4].set(jnp.concatenate([sq, pad_sq]))
+    return pT.at[:, 3].set(0.0)
 
 
 def solve_pallas(cfg: SimConfig, p_sorted: jax.Array, sorted_cid_pad: jax.Array,
@@ -476,11 +488,11 @@ def solve_pallas(cfg: SimConfig, p_sorted: jax.Array, sorted_cid_pad: jax.Array,
     pT = make_pT(cfg, p_sorted, n_pad)
 
     def body(_, pT):
-        lam = density_pass(cfg, pT, _cand_density(pT, width), plan,
-                           interpret=interpret)          # (n_pad, 1)
+        p4 = _p4_from_pT(pT, width)
+        lam = density_pass(cfg, pT, p4, plan, interpret=interpret)
         pT = jax.lax.dynamic_update_slice(pT, lam, (0, 3))
-        return project_pass(cfg, pT, _cand_project(pT, width), plan,
-                            interpret=interpret)
+        p4 = jax.lax.dynamic_update_slice(p4, lam.T, (3, 0))
+        return project_pass(cfg, pT, p4, plan, interpret=interpret)
 
     pT = jax.lax.fori_loop(0, cfg.solver_iters, body, pT)
     return pT[:n, 0:3]

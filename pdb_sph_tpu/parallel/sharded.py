@@ -184,17 +184,13 @@ def _pallas_solve_and_finalize(cfg, pcfg, p, last, active, ids, combined0,
         combined = jnp.concatenate([p_loc, ghosts, pad_tail])
         p_sorted = jnp.take(combined, order, axis=0)          # (n_pad, 3)
         p_sorted = jnp.where(ok_sorted, p_sorted, pallas_pbf.SENTINEL)
-        # cols: x, y, z, lambda, |p|^2 (sentinel rows get 3e4, far > h^2)
         pT = jnp.concatenate(
-            [p_sorted, jnp.zeros((n_pad, 1), jnp.float32),
-             jnp.sum(p_sorted * p_sorted, axis=1, keepdims=True)], axis=1)
-        lam = pallas_pbf.density_pass(
-            cfg, pT, pallas_pbf._cand_density(pT, width), plan,
-            interpret=interpret)
+            [p_sorted, jnp.zeros((n_pad, 1), jnp.float32)], axis=1)
+        p4 = pallas_pbf._p4_from_pT(pT, width)
+        lam = pallas_pbf.density_pass(cfg, pT, p4, plan, interpret=interpret)
         pT = jax.lax.dynamic_update_slice(pT, lam, (0, 3))
-        outT = pallas_pbf.project_pass(
-            cfg, pT, pallas_pbf._cand_project(pT, width), plan,
-            interpret=interpret)
+        p4 = jax.lax.dynamic_update_slice(p4, lam.T, (3, 0))
+        outT = pallas_pbf.project_pass(cfg, pT, p4, plan, interpret=interpret)
         dp_sorted = outT[:, 0:3] - p_sorted
         dp = jnp.take(dp_sorted, inv_order, axis=0)[:cap]
         return p_loc + jnp.where(active[:, None], dp, 0.0)

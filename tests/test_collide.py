@@ -1,7 +1,11 @@
 """Truth-table tests for the 6-wall collision response.
 
 Each case is checked against a literal NumPy transcription of the reference's
-sequential wall logic (src/FluidSimulator.cu:345-445).
+sequential wall logic (src/FluidSimulator.cu:345-445), amended with the two
+deliberate divergences documented in ops/collide.py: a bounce requires
+*outward* velocity (the reference's `v != 0` guard re-ejects an
+inward-moving escaped particle), and a final clamp enforces the box
+invariant. Both are identical to the reference for every genuine crossing.
 """
 
 import numpy as np
@@ -18,14 +22,14 @@ def _reference_finalize(cfg, p, last):
     v = (p - last) / cfg.dt
     cd = cfg.collision_damp
     for axis, w in ((1, 0.0), (1, cfg.wall), (0, 0.0), (2, 0.0), (0, cfg.wall), (2, cfg.wall)):
-        past = p[axis] > w if w > 0 else p[axis] < w
-        if past and v[axis] != 0.0:
+        outward = p[axis] > w and v[axis] > 0 if w > 0 else p[axis] < w and v[axis] < 0
+        if outward:
             t = (p[axis] - w) / v[axis]
             p = p - v * (1 - cd) * t
             p[axis] = 2 * w - p[axis]
             v[axis] *= -1.0
             v = v * cd
-    return p, v
+    return np.clip(p, 0.0, cfg.wall), v
 
 
 def _run_case(p_new, p_last):
@@ -70,9 +74,20 @@ def test_velocity_update_matches_verlet():
     np.testing.assert_allclose(np.asarray(x), p_new, rtol=1e-6)
 
 
-def test_zero_velocity_component_skips_wall():
-    # past the floor but vy == 0 -> reference leaves it (guard :362)
+def test_zero_velocity_component_clamps_into_box():
+    # past the floor with vy == 0: no bounce fires (reference guard :362
+    # also skips it), but the safety clamp returns it to the wall
     p = np.array([[1.0, -0.05, 1.0]], np.float32)
     x, v = finalize(CFG, p, p.copy())
-    np.testing.assert_allclose(np.asarray(x), p)
+    np.testing.assert_allclose(np.asarray(x), [[1.0, 0.0, 1.0]])
     np.testing.assert_allclose(np.asarray(v), 0.0)
+
+
+def test_escaped_inward_mover_not_re_ejected():
+    # outside the floor but moving back IN: the reference's v != 0 guard
+    # would mirror it back out; the fix leaves it (clamped to the wall)
+    p_new = np.array([[1.0, -0.4, 1.0]], np.float32)
+    p_last = np.array([[1.0, -0.5, 1.0]], np.float32)   # vy > 0, inward
+    x, v = finalize(CFG, p_new, p_last)
+    assert np.asarray(x)[0, 1] == 0.0                   # clamped, not mirrored
+    assert np.asarray(v)[0, 1] > 0.0                    # still moving inward

@@ -78,13 +78,16 @@ def test_sharded_dense_fluid_across_slab_boundary(mesh):
     # compiled sharded step is an lru_cache hit (compile dominates CI time);
     # the slab-bounds/ghost logic under test is shared by both backends.
     cfg = default_config(n=384, max_occupied_cells=512, cell_capacity=128)
-    # slab boundaries for z_hi=25, D=8 fall at z-cells ceil(25k/8): the
-    # slab1/slab2 edge is cell 7 (z=0.7). Rest density needs n/V = 80000:
-    # a 0.168-edge cube. Straddle z=0.7 with it.
+    # straddle the slab1/slab2 edge, derived from the actual decomposition
+    # (z-cells [0, z_hi) split into D even slabs). Rest density needs
+    # n/V = 80000: a 0.168-edge cube centered on that boundary.
+    pcfg = sharded.ParallelConfig.create(cfg, D, slack=4.0)
+    z_hi = pcfg.z_cells_hi or cfg.nb_grid_width
+    z_edge = int(np.ceil(z_hi * 2 / D)) * cfg.nb_cell
     rng = np.random.default_rng(7)
     edge = (cfg.n / 80000.0) ** (1.0 / 3.0)
     x = rng.uniform(0.0, edge, size=(cfg.n, 3)).astype(np.float32)
-    x[:, 2] += 0.7 - edge / 2.0
+    x[:, 2] += z_edge - edge / 2.0
     x[:, 0] += 0.9
     x[:, 1] += 0.9
     st = make_state(jnp.asarray(x))
