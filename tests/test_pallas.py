@@ -102,3 +102,34 @@ def test_window_plan_no_overflow_at_defaults():
     sc, _ = hashgrid.sort_by_cell(cfg, cid)
     plan = pallas_pbf.build_plan(cfg, sc)
     assert int(plan.n_overflow) == 0
+
+
+def test_plan_overflow_truncation_accounting():
+    """Pathological clustering: one cell holding more candidates than
+    MAX_SEG*SEG lanes must be REPORTED as truncation (the CLI surfaces it
+    as plan_overflow: silent truncation softens the physics), and every
+    emitted table slot must stay a sane 128-aligned offset."""
+    from pdb_sph_tpu.config import blowup_config
+    from pdb_sph_tpu.state import make_state
+
+    n = pallas_pbf.MAX_SEG * pallas_pbf.SEG + 4 * pallas_pbf.SEG
+    cfg = blowup_config(n=n, max_occupied_cells=1024)
+    rng = np.random.default_rng(11)
+    # everything inside one h-cell: the own-cell window alone needs more
+    # than MAX_SEG segments
+    x = (0.95 + 0.04 * rng.random((n, 3))).astype(np.float32)
+    st = make_state(jnp.asarray(x))
+
+    n_pad = pallas_pbf.pad_to_chunks(n)
+    cid = hashgrid.cell_ids(cfg, st.x)
+    cid_pad = jnp.concatenate(
+        [cid, jnp.full((n_pad - n,), cfg.num_nb_cells, jnp.int32)]
+    )
+    sc, _ = hashgrid.sort_by_cell(cfg, cid_pad)
+    plan = pallas_pbf.build_plan(cfg, sc)
+    assert int(plan.n_overflow) > 0, "expected candidate truncation"
+    segs = np.asarray(plan.seg_src)[:, 0, : pallas_pbf.MAX_SEG]
+    assert (segs % pallas_pbf.SEG == 0).all()
+    assert ((segs >= 0) & (segs <= n_pad)).all()
+    nblocks = np.asarray(plan.seg_src)[:, 0, pallas_pbf.SEGW - 1]
+    assert nblocks.max() * pallas_pbf.SPB <= pallas_pbf.MAX_SEG
