@@ -92,7 +92,7 @@ EPS = 1e-16
 class SegPlan(NamedTuple):
     """Per-step candidate plan (built once from the frozen sort).
 
-    seg_src: (num_chunks, 1, SEGW) i32 — 128-aligned p5 lane offsets of each
+    seg_src: (num_chunks, 1, SEGW) i32 — 128-aligned p4 lane offsets of each
         candidate segment; dead slots point at the sentinel pad zone
         [n_pad, n_pad + CC). Lane SEGW-1 holds T, the number of (OWN, CC)
         candidate blocks (= ceil(active_segs / SPB)).
