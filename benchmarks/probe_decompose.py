@@ -65,7 +65,7 @@ def main():
           f"GB={pallas_pbf.GB} SEG={pallas_pbf.SEG}")
 
     n_pad = pallas_pbf.pad_to_chunks(n)
-    width = n_pad + pallas_pbf.CC
+
 
     # frozen sorted inputs for the solver pieces
     p, _ = predict(cfg, state.x, state.v)
@@ -116,10 +116,10 @@ def main():
             pl_ = pallas_pbf.SegPlan(seg_src=seg_src,
                                      n_overflow=jnp.int32(0))
             def body(_, pT):
-                p4 = pallas_pbf._p4_from_pT(pT, width)
+                p4 = pallas_pbf._p4_from_pT(pT)
                 lam = pallas_pbf.density_pass(cfg, pT, p4, pl_)
                 pT = jax.lax.dynamic_update_slice(pT, lam, (0, 3))
-                p4 = jax.lax.dynamic_update_slice(p4, lam.T, (3, 0))
+                p4 = pallas_pbf.splice_lambda(p4, lam, n_pad)
                 return pallas_pbf.project_pass(cfg, pT, p4, pl_)
             return jax.lax.fori_loop(0, k, body, pT)
         return jax.jit(f), (pT0, plan.seg_src)
@@ -129,7 +129,7 @@ def main():
             pl_ = pallas_pbf.SegPlan(seg_src=seg_src,
                                      n_overflow=jnp.int32(0))
             def body(i, acc):
-                p4 = pallas_pbf._p4_from_pT(pT + acc * 1e-30, width)
+                p4 = pallas_pbf._p4_from_pT(pT + acc * 1e-30)
                 lam = pallas_pbf.density_pass(cfg, pT + acc * 1e-30, p4, pl_)
                 return acc + lam[0, 0] * 1e-30
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
@@ -140,7 +140,7 @@ def main():
             pl_ = pallas_pbf.SegPlan(seg_src=seg_src,
                                      n_overflow=jnp.int32(0))
             def body(i, acc):
-                p4 = pallas_pbf._p4_from_pT(pT + acc * 1e-30, width)
+                p4 = pallas_pbf._p4_from_pT(pT + acc * 1e-30)
                 out = pallas_pbf.project_pass(cfg, pT + acc * 1e-30, p4, pl_)
                 return acc + out[0, 0] * 1e-30
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))

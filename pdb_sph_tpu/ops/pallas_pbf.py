@@ -76,6 +76,19 @@ KW = 4096 // SEG                              # per-window segment cap (4096
                                               # lanes); 9*KW must cover MAX_SEG
 SEGW = 256                                    # SMEM seg-table width; last lane
                                               # holds T (candidate block count)
+NCOPIES = int(os.environ.get("PBF_NCOPIES", "4"))
+                                              # shifted twin copies of the
+                                              # candidate stream: copy c holds
+                                              # particle lane L at array lane
+                                              # c*stride + c*QSHIFT + L, so a
+                                              # window start on the QSHIFT
+                                              # grid is 128-aligned in exactly
+                                              # one copy — cutting the ~64-lane
+                                              # average start-side rounding
+                                              # waste to QSHIFT/2 (measured
+                                              # accounting in docs/PERF.md)
+QSHIFT = SEG // NCOPIES                       # window-start quantization grid
+assert SEG % NCOPIES == 0, "PBF_NCOPIES must divide PBF_SEG"
 # Padding position for pad/margin slots: far enough outside the domain that
 # rd2 >= h^2 against any real particle (so the min-clamp kills the pair), but
 # MODEST in magnitude: the project kernel accumulates s * dx per lane, where
@@ -128,14 +141,18 @@ def build_plan(cfg: SimConfig, sorted_cid: jax.Array) -> SegPlan:
     w = cfg.nb_grid_width
     ncells = cfg.num_nb_cells
 
-    c_first = sorted_cid[0::OWN][:num_chunks]                   # (num_chunks,)
-    c_last = sorted_cid[OWN - 1::OWN][:num_chunks]
+    chunk_cid = sorted_cid[: num_chunks * OWN].reshape(num_chunks, OWN)
+    c_first = chunk_cid[:, 0]                                   # (num_chunks,)
     # A mixed chunk (real head, padding/parked tail) must plan its windows
-    # from its real span: an unclamped padding c_last (== num_nb_cells) would
-    # stretch every window across the entire inactive block. Because padding
-    # sorts last, clamping to the last real cell keeps windows tight, and the
-    # cell-start table below then naturally excludes all cid >= num_nb_cells.
-    c_last = jnp.minimum(c_last, jnp.int32(ncells - 1))
+    # from its real span ONLY: clamping a padding c_last (== num_nb_cells) to
+    # ncells-1 — the round-1 scheme — stretched all nine windows of the mixed
+    # chunk to the end of the grid, the dedup folded them into one giant
+    # window, and the per-window KW cap then truncated its tail, silently
+    # dropping most of the boundary chunk's true neighbors whenever
+    # n % OWN != 0 (advisor finding, round 1). Padding sorts last, so the
+    # masked per-chunk max below is exactly the last real cell id; all-pad
+    # chunks get -1 and are killed by the is_pad guard regardless.
+    c_last = jnp.max(jnp.where(chunk_cid < ncells, chunk_cid, -1), axis=1)
 
     # ascending (dy, dz) offsets in cell-id space
     offsets = jnp.array(
@@ -170,26 +187,28 @@ def build_plan(cfg: SimConfig, sorted_cid: jax.Array) -> SegPlan:
     start = cell_starts[lo_cell]                                 # (num_chunks, 9)
     end = cell_starts[hi_cell + 1]
 
-    # Quantize to the DMA alignment unit FIRST (extra lanes are harmless by
-    # the stencil-distance argument in the module docstring), then make the
-    # windows disjoint so no pair is ever double counted. Max of multiples
-    # of SEG stays a multiple of SEG, so dedup preserves alignment.
-    length = end - start
-    qs = (start // SEG) * SEG
-    qe = -(-end // SEG) * SEG
-    qs = jnp.where(length > 0, qs, 0)
-    qe = jnp.where(length > 0, qe, 0)
-
-    def dedup(carry, se):
+    # Disjoint quantized windows in one sequential scan over the 9 ascending
+    # windows (vectorized over chunks). Starts quantize DOWN onto the QSHIFT
+    # grid — the shifted-copy layout makes any QSHIFT-multiple start
+    # 128-aligned in exactly one copy — and lengths quantize UP to SEG
+    # multiples (the DMA unit). The carry (previous window's quantized end,
+    # itself on the QSHIFT grid) clips each start so no particle lane is
+    # ever admitted twice; every extra lane from the rounding is either an
+    # inter-window-gap / out-of-stencil particle (>= one cell == h away, so
+    # the rd2 clamp kills the pair) or a sentinel pad slot — the same
+    # argument as the round-1 quantize-then-cummax scheme, at finer grain.
+    def dedup_q(carry, se):
         s, e = se
-        s = jnp.maximum(s, carry)
-        e = jnp.maximum(e, s)
-        return e, (s, e)
+        s2 = jnp.maximum(s, carry)
+        qs = jnp.maximum((s2 // QSHIFT) * QSHIFT, carry)
+        ln = jnp.where(e > s2, -(-(e - qs) // SEG) * SEG, 0)
+        qe = qs + ln
+        return qe, (qs, qe)
 
     # carry derives from `start` (not a fresh zeros) so its varying-axes type
     # matches inside shard_map
     _, (qs_d, qe_d) = jax.lax.scan(
-        dedup, jnp.zeros_like(start[:, 0]), (qs.T, qe.T)
+        dedup_q, jnp.zeros_like(start[:, 0]), (start.T, end.T)
     )
     qs, qe = qs_d.T, qe_d.T
 
@@ -208,6 +227,13 @@ def build_plan(cfg: SimConfig, sorted_cid: jax.Array) -> SegPlan:
 
     # Flat slot table by one small per-row sort (slots ascend in (window,
     # seg) order; invalid entries get a huge key and the sentinel-zone src).
+    # A window starting at particle lane qs lives in the copy whose forward
+    # shift CANCELS qs's SEG-residue: cshift = (SEG - qs % SEG) % SEG
+    # (= c * QSHIFT), so the array offset c*stride + cshift + qs is
+    # 128-aligned by construction; all its segments stay inside that copy.
+    stride = jnp.int32(n_pad + CC)
+    cshift = (SEG - qs % SEG) % SEG
+    src0 = (cshift // QSHIFT) * stride + cshift + qs             # (nc, 9)
     j = jnp.arange(KW, dtype=jnp.int32)
     cum0 = jnp.concatenate([jnp.zeros((num_chunks, 1), jnp.int32), cum],
                            axis=1)
@@ -215,7 +241,7 @@ def build_plan(cfg: SimConfig, sorted_cid: jax.Array) -> SegPlan:
     valid = (j[None, None, :] < k[:, :, None]) & (slot < MAX_SEG)
     key = jnp.where(valid, slot, jnp.int32(2 ** 30)).reshape(num_chunks,
                                                              9 * KW)
-    val = jnp.where(valid, qs[:, :, None] + j[None, None, :] * SEG,
+    val = jnp.where(valid, src0[:, :, None] + j[None, None, :] * SEG,
                     jnp.int32(n_pad)).reshape(num_chunks, 9 * KW)
     _, src = jax.lax.sort((key, val), num_keys=1)
     src = src[:, :MAX_SEG]                                       # 128-aligned
@@ -229,16 +255,33 @@ def build_plan(cfg: SimConfig, sorted_cid: jax.Array) -> SegPlan:
     return SegPlan(seg_src=seg_src, n_overflow=n_overflow)
 
 
-def _p4_from_pT(pT: jax.Array, width: int) -> jax.Array:
-    """(n_pad, 4) own-layout -> (4, width) candidate rows (x, y, z,
-    lambda), sentinel margin (lambda 0 there). One fused XLA transpose per
-    solver iteration (~MBs of HBM traffic) buys zero in-kernel relayouts:
-    a transpose inside the kernel costs ~2.5 us flat on the VPU."""
+def cand_width(n_pad: int) -> int:
+    """Total lane width of the candidate array: NCOPIES shifted copies of
+    stride (n_pad + CC) lanes each."""
+    return NCOPIES * (n_pad + CC)
+
+
+def _p4_from_pT(pT: jax.Array) -> jax.Array:
+    """(n_pad, 4) own-layout -> (4, NCOPIES * stride) candidate rows
+    (x, y, z, lambda): copy c holds particle lane L at array lane
+    c*stride + c*QSHIFT + L, sentinel everywhere else (lambda 0 there).
+    One fused XLA transpose+broadcast per solver iteration (~MBs of HBM
+    traffic) buys zero in-kernel relayouts: a transpose inside the kernel
+    costs ~2.5 us flat on the VPU."""
     n_pad = pT.shape[0]
-    p4 = jnp.full((4, width), SENTINEL, jnp.float32)
-    p4 = p4.at[:, :n_pad].set(pT.T)
-    p4 = p4.at[3, n_pad:].set(0.0)
-    return p4
+    stride = n_pad + CC
+    p4 = jnp.full((4, NCOPIES * stride), SENTINEL, jnp.float32)
+    pt = pT.T
+    for c in range(NCOPIES):
+        base = c * stride + c * QSHIFT
+        p4 = jax.lax.dynamic_update_slice(p4, pt, (0, base))
+    # lambda row: zero on every non-particle lane (margins stream with the
+    # windows; a clamped dead lane's u^2 residual times a huge lambda would
+    # otherwise leak ~1e-13-scale drift into the projection sums)
+    lane = jnp.arange(NCOPIES * stride, dtype=jnp.int32)
+    off = lane % stride - (lane // stride) * QSHIFT
+    is_particle = (off >= 0) & (off < n_pad)
+    return p4.at[3].set(jnp.where(is_particle, p4[3], 0.0))
 
 
 # ---------------------------------------------------------------------------
@@ -476,6 +519,17 @@ def make_pT(cfg: SimConfig, p_sorted: jax.Array, n_pad: int) -> jax.Array:
     return pT.at[:, 3].set(0.0)
 
 
+def splice_lambda(p4: jax.Array, lam: jax.Array, n_pad: int) -> jax.Array:
+    """Write the freshly computed lambda column into row 3 of every shifted
+    candidate copy (positions are already there from _p4_from_pT)."""
+    stride = n_pad + CC
+    lam_t = lam.T
+    for c in range(NCOPIES):
+        p4 = jax.lax.dynamic_update_slice(
+            p4, lam_t, (3, c * stride + c * QSHIFT))
+    return p4
+
+
 def solve_pallas(cfg: SimConfig, p_sorted: jax.Array, sorted_cid_pad: jax.Array,
                  interpret: bool = False) -> jax.Array:
     """The full solver_iters-iteration Jacobi constraint solve. p_sorted
@@ -483,15 +537,14 @@ def solve_pallas(cfg: SimConfig, p_sorted: jax.Array, sorted_cid_pad: jax.Array,
     num_nb_cells."""
     n = p_sorted.shape[0]
     n_pad = pad_to_chunks(n)
-    width = n_pad + CC
     plan = build_plan(cfg, sorted_cid_pad)
     pT = make_pT(cfg, p_sorted, n_pad)
 
     def body(_, pT):
-        p4 = _p4_from_pT(pT, width)
+        p4 = _p4_from_pT(pT)
         lam = density_pass(cfg, pT, p4, plan, interpret=interpret)
         pT = jax.lax.dynamic_update_slice(pT, lam, (0, 3))
-        p4 = jax.lax.dynamic_update_slice(p4, lam.T, (3, 0))
+        p4 = splice_lambda(p4, lam, n_pad)
         return project_pass(cfg, pT, p4, plan, interpret=interpret)
 
     pT = jax.lax.fori_loop(0, cfg.solver_iters, body, pT)

@@ -19,6 +19,7 @@ def _unsort(state):
     return np.asarray(state.x)[inv], np.asarray(state.v)[inv]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("scene", ["standard", "blowup"])
 def test_pallas_step_matches_cell(scene):
     cfg = default_config(n=512, max_occupied_cells=1024, cell_capacity=256)
@@ -56,6 +57,23 @@ def test_pallas_nonmultiple_of_128():
     np.testing.assert_allclose(x_p, x_c, rtol=1e-5, atol=1e-6)
 
 
+def _coverage(segs_row, nblocks, n_pad):
+    """Per-particle-lane stream counts for one chunk's segment table,
+    mapping shifted-copy array offsets back to particle lanes. Lanes >=
+    n_pad are the sentinel pad zone (repeats allowed there)."""
+    stride = n_pad + pallas_pbf.CC
+    covered = np.zeros(n_pad + pallas_pbf.CC, dtype=int)
+    for s in range(nblocks * pallas_pbf.SPB):
+        src = int(segs_row[s])
+        assert src % pallas_pbf.SEG == 0, "unaligned seg"
+        copy = src // stride
+        assert 0 <= copy < pallas_pbf.NCOPIES, f"seg out of range: {src}"
+        lane = src - copy * stride - copy * pallas_pbf.QSHIFT
+        assert 0 <= lane <= n_pad, f"bad lane {lane} (src {src})"
+        covered[lane : lane + pallas_pbf.SEG] += 1
+    return covered
+
+
 def test_window_plan_covers_all_pairs():
     """Every pair within h must fall in exactly one candidate window."""
     cfg = default_config(n=384)
@@ -78,20 +96,62 @@ def test_window_plan_covers_all_pairs():
     within = rd2 < cfg.h2
 
     for c in range(n_pad // pallas_pbf.OWN):
-        nblocks = segs[c, pallas_pbf.SEGW - 1]
-        covered = np.zeros(n_pad + pallas_pbf.CC, dtype=int)
-        for s in range(nblocks * pallas_pbf.SPB):
-            src = segs[c, s]
-            assert src % pallas_pbf.SEG == 0, f"chunk {c}: unaligned seg"
-            assert 0 <= src <= n_pad, f"chunk {c}: seg out of range"
-            covered[src : src + pallas_pbf.SEG] += 1
-        # no double counting of REAL lanes (the sentinel pad zone at
-        # [n_pad, n_pad+CC) absorbs every dead slot, repeats allowed there)
+        covered = _coverage(segs[c], segs[c, pallas_pbf.SEGW - 1], n_pad)
+        # no double counting of REAL lanes (the sentinel pad zone absorbs
+        # every dead slot, repeats allowed there)
         assert covered[:n_pad].max() <= 1, f"chunk {c}: candidate counted twice"
         # full coverage of true neighbors of every own particle in the chunk
         for i in range(c * pallas_pbf.OWN, min((c + 1) * pallas_pbf.OWN, n)):
             js = np.nonzero(within[i][:n])[0]
             assert (covered[js] == 1).all(), f"chunk {c} misses neighbors of {i}"
+
+
+def test_window_plan_mixed_chunk_covers_all_pairs():
+    """Round-1 advisor bug: with n % OWN != 0, the boundary chunk mixes real
+    and padding entries; the old plan clamped its c_last to the grid's last
+    cell, stretching all nine windows to the array end, and the per-window
+    KW cap then truncated the fold — dropping most true neighbors of that
+    chunk (81% measured at n=16040). Needs n large/dense enough that the
+    stretched fold would exceed KW*SEG lanes, and n % OWN != 0."""
+    n = 16040  # % 64 == 40 (the advisor's repro size)
+    assert n % pallas_pbf.OWN != 0
+    cfg = default_config(n=n, max_occupied_cells=4096, cell_capacity=512)
+    # dense slab confined to one z-row of cells: window 1 of the mixed
+    # chunk clips to the array start, so the stretched fold spans the whole
+    # array (>> KW*SEG lanes) and the old cap dropped every own-cell
+    # neighbor (measured: 3222/3222 missed, plan overflow 12032)
+    from pdb_sph_tpu.state import make_state
+
+    rng = np.random.default_rng(7)
+    xs = np.stack(
+        [rng.random(n) * 2.0, rng.random(n) * 2.0, rng.random(n) * 0.09],
+        axis=1,
+    ).astype(np.float32)
+    st = make_state(jnp.asarray(xs))
+    n_pad = pallas_pbf.pad_to_chunks(n)
+    cid = hashgrid.cell_ids(cfg, st.x)
+    cid_pad = jnp.concatenate(
+        [cid, jnp.full((n_pad - n,), cfg.num_nb_cells, jnp.int32)]
+    )
+    sc, order_pad = hashgrid.sort_by_cell(cfg, cid_pad)
+    plan = pallas_pbf.build_plan(cfg, sc)
+    assert int(plan.n_overflow) == 0, "tight windows must not overflow here"
+    ps = np.asarray(st.x)[np.asarray(order_pad[:n])]
+    segs = np.asarray(plan.seg_src)[:, 0, :]
+
+    last_chunk = (n - 1) // pallas_pbf.OWN  # the mixed real/padding chunk
+    for c in (last_chunk, last_chunk - 1):
+        covered = _coverage(segs[c], segs[c, pallas_pbf.SEGW - 1], n_pad)
+        assert covered[:n_pad].max() <= 1, f"chunk {c}: candidate counted twice"
+        own = ps[c * pallas_pbf.OWN : min((c + 1) * pallas_pbf.OWN, n)]
+        d = own[:, None, :] - ps[None, :, :]
+        within = (d * d).sum(-1) < cfg.h2
+        for i in range(own.shape[0]):
+            js = np.nonzero(within[i])[0]
+            assert (covered[js] == 1).all(), (
+                f"chunk {c} misses {np.sum(covered[js] != 1)}/{len(js)} "
+                f"neighbors of own row {i}"
+            )
 
 
 def test_window_plan_no_overflow_at_defaults():
@@ -130,6 +190,10 @@ def test_plan_overflow_truncation_accounting():
     assert int(plan.n_overflow) > 0, "expected candidate truncation"
     segs = np.asarray(plan.seg_src)[:, 0, : pallas_pbf.MAX_SEG]
     assert (segs % pallas_pbf.SEG == 0).all()
-    assert ((segs >= 0) & (segs <= n_pad)).all()
+    stride = n_pad + pallas_pbf.CC
+    copy = segs // stride
+    lane = segs - copy * stride - copy * pallas_pbf.QSHIFT
+    assert ((copy >= 0) & (copy < pallas_pbf.NCOPIES)).all()
+    assert ((lane >= 0) & (lane <= n_pad)).all()
     nblocks = np.asarray(plan.seg_src)[:, 0, pallas_pbf.SEGW - 1]
     assert nblocks.max() * pallas_pbf.SPB <= pallas_pbf.MAX_SEG
