@@ -61,7 +61,18 @@ class ParallelConfig:
                            # for load balance (fluid lives in z < wall).
 
     @staticmethod
-    def create(cfg: SimConfig, n_devices: int, slack: float = 1.6):
+    def create(cfg: SimConfig, n_devices: int, slack: float = 1.6,
+               state: SimState | None = None):
+        """Size the per-shard buffers.
+
+        `slack` covers load imbalance for roughly-uniform scenes; a
+        CONCENTRATED scene (blowup: the whole fluid inside 1-2 slabs) needs
+        either slack >= 4 or, better, `state=` — then capacity is floored at
+        1.5x the measured worst-slab occupancy of the initial condition, so
+        `distribute` cannot reject and the in-run merge counter has headroom
+        while the concentration only ever *spreads* (PBF density projection
+        pushes outward; nothing re-concentrates past the IC).
+        """
         if n_devices == 1:
             # degenerate mesh: no imbalance, no neighbors to exchange with —
             # minimal buffers keep the sorts near the plain-path size
@@ -71,6 +82,18 @@ class ParallelConfig:
                 ghost_capacity=128, z_cells_hi=0,
             )
         cap = int(np.ceil(cfg.n * slack / n_devices / 128) * 128)
+        if state is not None:
+            z_hi0 = min(
+                cfg.nb_grid_width,
+                int(np.ceil((cfg.wall * 1.25) / cfg.nb_cell)),
+            )
+            cz = np.clip(
+                (np.asarray(state.x)[:, 2] / cfg.nb_cell).astype(np.int64),
+                0, cfg.nb_grid_width - 1,
+            )
+            dest = np.minimum(cz * n_devices // z_hi0, n_devices - 1)
+            occ_max = int(np.bincount(dest, minlength=n_devices).max())
+            cap = max(cap, int(np.ceil(occ_max * 1.5 / 128) * 128))
         # fluid occupies z in [0, wall] (+ splash); slabs cover that range
         z_hi = min(
             cfg.nb_grid_width,
@@ -154,7 +177,6 @@ def _pallas_solve_and_finalize(cfg, pcfg, p, last, active, ids, combined0,
     cap = pcfg.capacity
     n_loc = cap + 2 * pcfg.ghost_capacity
     n_pad = pallas_pbf.pad_to_chunks(n_loc)
-    width = n_pad + pallas_pbf.CC
 
     combined_ok = jnp.concatenate([active, gok0])
     cid = jnp.where(
@@ -186,10 +208,10 @@ def _pallas_solve_and_finalize(cfg, pcfg, p, last, active, ids, combined0,
         p_sorted = jnp.where(ok_sorted, p_sorted, pallas_pbf.SENTINEL)
         pT = jnp.concatenate(
             [p_sorted, jnp.zeros((n_pad, 1), jnp.float32)], axis=1)
-        p4 = pallas_pbf._p4_from_pT(pT, width)
+        p4 = pallas_pbf._p4_from_pT(pT)
         lam = pallas_pbf.density_pass(cfg, pT, p4, plan, interpret=interpret)
         pT = jax.lax.dynamic_update_slice(pT, lam, (0, 3))
-        p4 = jax.lax.dynamic_update_slice(p4, lam.T, (3, 0))
+        p4 = pallas_pbf.splice_lambda(p4, lam, n_pad)
         outT = pallas_pbf.project_pass(cfg, pT, p4, plan, interpret=interpret)
         dp_sorted = outT[:, 0:3] - p_sorted
         dp = jnp.take(dp_sorted, inv_order, axis=0)[:cap]
@@ -321,15 +343,21 @@ def _shard_step(cfg: SimConfig, pcfg: ParallelConfig, backend: str,
             pallas_interpret,
         )
 
-    cid = hashgrid.cell_ids(cfg, combined0)
-    # sentinels: clamp sends them all to the last grid cell; exclude that
-    # cell from the table so they cost no rows/capacity and don't pollute
-    # the overflow count (fluid never reaches the far grid corner — the box
-    # wall is at 2 of 8 domain units)
+    # inactive slots (padding, invalid ghosts) get the explicit past-the-end
+    # cell id, exactly like the pallas branch: they sort after every real
+    # particle and are excluded from the table and the overflow count.
+    # (Round 1 instead parked them in the LAST REAL cell via position
+    # clamping and ignored that cell — silently dropping any real particle
+    # that reached the grid's far-corner cell, which became reachable once
+    # the neighbor grid shrank to the box extent. Advisor finding.)
+    combined_ok0 = jnp.concatenate([active, gok0])
+    cid = jnp.where(
+        combined_ok0, hashgrid.cell_ids(cfg, combined0), cfg.num_nb_cells
+    )
     sorted_cid, order = hashgrid.sort_by_cell(cfg, cid)
     inv_order = jnp.argsort(order)
     grid = hashgrid.build_grid(cfg, sorted_cid, order,
-                               ignore_cell=cfg.num_nb_cells - 1)
+                               ignore_cell=cfg.num_nb_cells)
 
     # ---------------- constraint iterations ---------------------------
     def body(_, p_loc):
