@@ -22,13 +22,17 @@ from ..render import renderer
 
 
 def write_gif(path: str, frames_rgb, fps: float = 30.0,
-              levels: int = 64) -> None:
+              levels: int = 64, palette_rgb=None) -> None:
     """Minimal animated GIF89a encoder (stdlib only) — the reference's demo
     artifacts are gifs (README.md:4-15). Quantizes to a `levels`-entry
-    palette sampled from the first frame's dominant colors (the point-sprite
-    scene is near-monochrome, so uniform luminance bins of the splat color
-    work well). `frames_rgb` may be any iterable of (h, w, 3) uint8 arrays —
-    frames are streamed, never held all at once."""
+    palette of luminance-ordered bins (the point-sprite scene is
+    near-monochrome, so uniform luminance bins of the splat color work
+    well). The palette samples come from `palette_rgb` — an (m, 3) uint8
+    pixel sample, ideally drawn from frames ACROSS the run (a dark first
+    frame used to posterize everything after it) — falling back to the
+    first frame when omitted. `frames_rgb` may be any iterable of
+    (h, w, 3) uint8 arrays — frames are streamed, never held all at
+    once."""
     import itertools
 
     it = iter(frames_rgb)
@@ -38,8 +42,10 @@ def write_gif(path: str, frames_rgb, fps: float = 30.0,
         raise ValueError("no frames") from None
     h, w, _ = first.shape
 
-    # palette: linear blend background -> splat color sampled from frame 0
-    f0 = first.reshape(-1, 3).astype(np.float32)
+    # palette: linear blend background -> splat color over the sample pixels
+    if palette_rgb is None:
+        palette_rgb = first.reshape(-1, 3)
+    f0 = np.asarray(palette_rgb, np.float32).reshape(-1, 3)
     lum = f0 @ np.float32([0.299, 0.587, 0.114])
     order = np.argsort(lum)
     idxs = np.linspace(0, len(order) - 1, levels).astype(int)
@@ -205,7 +211,14 @@ class FrameWriter:
                 if self.gif_path:
                     self._gif_files.append(fname)
                 self.frames_written += 1
-            except BaseException as e:  # surfaced on close()
+            except BaseException as e:
+                # Surface immediately on stderr (a long run that stops
+                # producing frames mid-way used to look like success until
+                # close()), and re-raise from the next submit()/close().
+                if self._err is None:
+                    import traceback
+
+                    traceback.print_exc()
                 self._err = e
 
     def submit(self, step: int, positions) -> None:
@@ -219,8 +232,15 @@ class FrameWriter:
         if self._err:
             raise RuntimeError("frame writer failed") from self._err
         if self.gif_path and self._gif_files:
+            # Palette sample: subsampled pixels from up to 8 frames spread
+            # across the whole run, so early dark frames don't posterize
+            # the settled fluid (and vice versa).
+            picks = self._gif_files[:: max(1, len(self._gif_files) // 8)]
+            sample = np.concatenate(
+                [read_png(f)[::8, ::8].reshape(-1, 3) for f in picks]
+            )
             write_gif(self.gif_path, (read_png(f) for f in self._gif_files),
-                      fps=self.gif_fps)
+                      fps=self.gif_fps, palette_rgb=sample)
 
     def __enter__(self):
         return self

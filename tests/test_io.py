@@ -104,6 +104,40 @@ def test_frame_writer_gif(tmp_path):
     assert raw[:6] == b"GIF89a" and raw.count(b"\x21\xf9") == 2
 
 
+def test_write_gif_palette_survives_dark_first_frame(tmp_path):
+    """A near-black first frame must not posterize the rest (round-1
+    finding): the palette is built from an explicit cross-run sample."""
+    dark = np.zeros((16, 16, 3), np.uint8)
+    bright = np.full((16, 16, 3), (135, 204, 250), np.uint8)
+    sample = np.concatenate([dark.reshape(-1, 3), bright.reshape(-1, 3)])
+    path = str(tmp_path / "p.gif")
+    frames.write_gif(path, [dark, bright], fps=10, palette_rgb=sample)
+    raw = open(path, "rb").read()
+    # global palette lives right after the 13-byte header; with the bright
+    # color in the sample, some palette entry must be near the splat color
+    pal_size = 2 << (raw[10] & 0x07)
+    pal = np.frombuffer(raw[13 : 13 + 3 * pal_size], np.uint8)
+    pal = pal.reshape(-1, 3).astype(int)
+    d = np.abs(pal - np.array([135, 204, 250])).sum(1)
+    assert d.min() < 30, "palette lost the splat color"
+
+
+def test_frame_writer_surfaces_worker_error(tmp_path, monkeypatch):
+    out = str(tmp_path / "frames")
+
+    def boom(*a, **k):
+        raise ValueError("synthetic render failure")
+
+    monkeypatch.setattr(frames.renderer, "render", boom)
+    w = frames.FrameWriter(out, width=32, height=24)
+    w.submit(0, np.zeros((4, 3), np.float32))
+    with pytest.raises(RuntimeError, match="frame writer failed"):
+        # the error surfaces on a later submit or at close, never silently
+        for s in range(1, 50):
+            w.submit(s, np.zeros((4, 3), np.float32))
+        w.close()
+
+
 def test_renderer_native_builds_and_draws():
     assert renderer.have_native(), "g++ build of librasterizer.so failed"
     pos = np.array([[1.0, 1.0, 1.0]], np.float32)
