@@ -18,6 +18,7 @@ def _unsort(state):
     return np.asarray(state.x)[inv], np.asarray(state.v)[inv]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("scene", ["standard", "blowup"])
 def test_one_step_matches_dense(scene):
     cfg = CFG if scene == "standard" else default_config(
@@ -34,6 +35,7 @@ def test_one_step_matches_dense(scene):
     np.testing.assert_allclose(v_c, np.asarray(sd.v), rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_ten_steps_match_dense():
     st = spawn(CFG, "standard", seed=1)
     dense_step = make_step(CFG, backend="dense")
