@@ -56,10 +56,10 @@ print(json.dumps({{"ms_per_step": ms}}))
 """
 
 
-def run_config(own, cc, nbuf, gb, n, lo, hi):
+def run_config(own, cc, nbuf, gb, n, lo, hi, ncopies=4):
     env = dict(os.environ)
     env.update(PBF_OWN=str(own), PBF_CC=str(cc), PBF_NBUF=str(nbuf),
-               PBF_GB=str(gb))
+               PBF_GB=str(gb), PBF_NCOPIES=str(ncopies))
     script = CHILD.format(repo=REPO, n=n, lo=lo, hi=hi)
     try:
         out = subprocess.run(
@@ -86,20 +86,23 @@ def main():
     ap.add_argument("--cc", type=int, nargs="*", default=None)
     ap.add_argument("--nbuf", type=int, nargs="*", default=None)
     ap.add_argument("--gb", type=int, nargs="*", default=None)
+    ap.add_argument("--ncopies", type=int, nargs="*", default=None)
     args = ap.parse_args()
 
     owns = args.own or [64, 128]
     ccs = args.cc or ([512, 1024] if args.quick else [512, 768, 1024])
     nbufs = args.nbuf or [6]
     gbs = args.gb or [4, 8]
+    ncs = args.ncopies or [4]
     lo, hi = (5, 20) if args.quick else (10, 40)
 
     results = []
-    for own, cc, nbuf, gb in itertools.product(owns, ccs, nbufs, gbs):
+    for own, cc, nbuf, gb, nc in itertools.product(owns, ccs, nbufs, gbs,
+                                                   ncs):
         if nbuf * cc * 16 > 2 * 1024 * 1024:   # keep the ring under 2 MiB
             continue
-        ms, err = run_config(own, cc, nbuf, gb, args.n, lo, hi)
-        tag = f"OWN={own:4d} CC={cc:5d} NBUF={nbuf} GB={gb}"
+        ms, err = run_config(own, cc, nbuf, gb, args.n, lo, hi, ncopies=nc)
+        tag = f"OWN={own:4d} CC={cc:5d} NBUF={nbuf} GB={gb} NC={nc}"
         if ms is None:
             print(f"{tag}  FAILED: {err}")
         else:

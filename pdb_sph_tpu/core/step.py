@@ -112,6 +112,14 @@ def diagnostics_fn(cfg: SimConfig, state: SimState) -> StepDiagnostics:
     tz = hashgrid.scatter_table(cfg, grid, x_s[:, 2])
     rho_t = cell_list.density_tables(cfg, tx, ty, tz, grid)
     rho = hashgrid.gather_table(cfg, grid, rho_t, jnp.zeros_like(x_s[:, 0]))
+    # Particles the *diagnostic* table had to drop (it has its own capacity,
+    # independent of the solver's exact pallas plan) read back rho=0 — which
+    # pegged max_density_err at 1.0 and biased the mean down. A table-resident
+    # particle always has rho >= its positive self contribution, so rho > 0
+    # identifies residents exactly; mask the drops out of the density stats
+    # (n_overflow still reports the drop count).
+    in_tab = rho > 0.0
+    n_meas = jnp.maximum(jnp.sum(in_tab), 1)
 
     # pallas candidate-plan truncation count (0 on the cell/dense backends'
     # own structures, but cheap to compute and vital on the pallas path:
@@ -130,8 +138,10 @@ def diagnostics_fn(cfg: SimConfig, state: SimState) -> StepDiagnostics:
     out = (state.x < -0.25) | (state.x > cfg.wall + 0.25)
     finite = jnp.isfinite(state.x).all() & jnp.isfinite(state.v).all()
     return StepDiagnostics(
-        mean_density=jnp.mean(rho),
-        max_density_err=jnp.max(jnp.abs(rho * cfg.inv_rho0 - 1.0)),
+        mean_density=jnp.sum(jnp.where(in_tab, rho, 0.0)) / n_meas,
+        max_density_err=jnp.max(
+            jnp.where(in_tab, jnp.abs(rho * cfg.inv_rho0 - 1.0), 0.0)
+        ),
         max_speed=jnp.max(speed),
         n_escaped=jnp.sum(out.any(axis=1)).astype(jnp.int32),
         n_overflow=grid.n_overflow,

@@ -112,6 +112,37 @@ class ParallelConfig:
         )
 
 
+def _validate_geometry(cfg: SimConfig, pcfg: ParallelConfig) -> None:
+    """Fail fast on decomposition geometry that would silently break the
+    exchange invariants (the round-1 review asked for these to be guarded,
+    not just documented):
+
+      * every slab must span >= 2 z-cells — the two-boundary-row ghost
+        exchange only reaches the ADJACENT shard, so a 1-cell slab would
+        need ghosts from two shards away and the inner-row lambda would be
+        silently wrong;
+      * capacities must be positive multiples of 128 (TPU lane alignment of
+        every packed buffer).
+    """
+    D = pcfg.n_devices
+    if D > 1:
+        z_hi = pcfg.z_cells_hi or cfg.nb_grid_width
+        # slab d covers [ceil(d*z_hi/D), ceil((d+1)*z_hi/D)); the narrowest
+        # slab has floor(z_hi/D) cells
+        min_slab = z_hi // D
+        if min_slab < 2:
+            raise ValueError(
+                f"{D} slabs over {z_hi} z-cells leaves a slab only "
+                f"{min_slab} cell(s) wide; the two-row ghost exchange needs "
+                ">= 2 cells per slab (use fewer devices or a finer grid)"
+            )
+    for name in ("capacity", "mig_capacity", "ghost_capacity"):
+        val = getattr(pcfg, name)
+        if val <= 0 or val % 128 != 0:
+            raise ValueError(f"{name} ({val}) must be a positive multiple "
+                             "of 128")
+
+
 def make_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
@@ -416,6 +447,7 @@ def make_sharded_step(cfg: SimConfig, pcfg: ParallelConfig, mesh: Mesh,
     """
     if backend not in ("cell", "pallas"):
         raise ValueError(f"unknown sharded backend {backend!r}")
+    _validate_geometry(cfg, pcfg)
     fn = jax.shard_map(
         partial(_shard_step, cfg, pcfg, backend, pallas_interpret),
         mesh=mesh,

@@ -80,3 +80,20 @@ def test_solver_iterations_improve_density():
         rho = np.asarray(dense.density_dense(cfg, state.x))
         errs.append(abs(rho.mean() / cfg.rho0 - 1.0))
     assert errs[1] < errs[0]
+
+
+def test_diagnostics_mask_table_drops():
+    """Particles the diagnostic cell table drops (its capacity is independent
+    of the solver's exact plan) must not poison the density stats: rho=0
+    readbacks used to peg max_density_err at exactly 1.0 and bias the mean
+    down. Drops are still *reported* via n_overflow."""
+    # coarse 0.5-unit cells: the blowup ball (radius 0.5) spans ~8 cells, so
+    # n=1024 puts well over cell_capacity=128 into the central ones
+    cfg = default_config(n=1024, nb_cell_size=0.5, max_occupied_cells=512,
+                         cell_capacity=128)
+    state = spawn(cfg, "blowup", seed=3)
+    d = diagnostics_fn(cfg, state)
+    assert int(d.n_overflow) > 0, "test premise: the table must drop some"
+    assert float(d.max_density_err) != 1.0
+    assert float(d.mean_density) > 0.0  # residents only, no rho=0 dilution
+    assert not bool(d.nan_detected)

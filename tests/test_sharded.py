@@ -192,3 +192,15 @@ def test_distribute_rejects_overflow(mesh):
     )
     with pytest.raises(ValueError):
         sharded.distribute(cfg, pcfg, st, mesh)
+
+
+def test_narrow_slab_geometry_rejected(mesh):
+    """A slab under 2 z-cells breaks the adjacent-shard two-row ghost
+    invariant; make_sharded_step must refuse it up front."""
+    # coarse neighbor grid: z range wall*1.25 = 2.5 over 0.25-cells -> 10
+    # z-cells across 8 devices -> narrowest slab = 1 cell
+    cfg = default_config(n=256, nb_cell_size=0.25, max_occupied_cells=384,
+                         cell_capacity=128)
+    pcfg = sharded.ParallelConfig.create(cfg, D)
+    with pytest.raises(ValueError, match="ghost exchange"):
+        sharded.make_sharded_step(cfg, pcfg, mesh)
