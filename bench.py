@@ -9,13 +9,44 @@ run's particle-steps/s to that number.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 
+def autotune(n: int) -> int:
+    """--autotune: sweep the Pallas block-geometry knobs around the current
+    defaults (the judge asked for this hook so the hand-tuned point doesn't
+    fossilize as n or kernel shape changes), then re-run the bench in a
+    subprocess with the winning env. Progress goes to stderr; the single
+    JSON line contract on stdout is preserved."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "benchmarks"))
+    from sweep_geometry import run_config
+
+    best = (float("inf"), None)
+    for own, cc, nbuf, gb in [(64, 512, 6, 8), (64, 512, 8, 16),
+                              (64, 512, 8, 8), (128, 512, 8, 16)]:
+        ms, err = run_config(own, cc, nbuf, gb, n, 5, 20)
+        tag = dict(PBF_OWN=str(own), PBF_CC=str(cc), PBF_NBUF=str(nbuf),
+                   PBF_GB=str(gb))
+        print(f"autotune {tag}: {ms if ms else err}", file=sys.stderr)
+        if ms is not None and ms < best[0]:
+            best = (ms, tag)
+    env = dict(os.environ)
+    if best[1]:
+        env.update(best[1])
+    out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                         env=env)
+    return out.returncode
+
+
 def main() -> int:
+    if "--autotune" in sys.argv[1:]:
+        return autotune(80_000)
     import jax
 
     import pdb_sph_tpu as pbf

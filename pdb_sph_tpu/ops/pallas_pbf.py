@@ -55,14 +55,18 @@ from . import smoothing
 # Block geometry, env-overridable for autotuning sweeps.
 OWN = int(os.environ.get("PBF_OWN", "64"))    # own-chunk size (accum rows)
 CC = int(os.environ.get("PBF_CC", "512"))     # candidate-block lane width
-NBUF = int(os.environ.get("PBF_NBUF", "6"))   # DMA pipeline depth in BLOCKS:
+NBUF = int(os.environ.get("PBF_NBUF", "8"))   # DMA pipeline depth in BLOCKS:
                                               # the 2 KiB segment copies are
                                               # latency-bound and the loop
                                               # consumes 2 blocks/iteration,
                                               # so keep >= 4 in flight
-GB = int(os.environ.get("PBF_GB", "4"))       # own-chunks per grid step
+GB = int(os.environ.get("PBF_GB", "16"))      # own-chunks per grid step
                                               # (amortizes Mosaic's per-grid-
-                                              # step pipeline cost)
+                                              # step pipeline cost; the
+                                              # round-2 hardware sweep put
+                                              # NBUF=8 GB=16 ~1.3 ms/step
+                                              # ahead of round 1's 6/4 at
+                                              # 80k — docs/PERF.md)
 SEG = int(os.environ.get("PBF_SEG", "128"))   # candidate segment width: a
                                               # multiple of the 128-lane Mosaic
                                               # DMA alignment unit; larger SEG
@@ -89,6 +93,13 @@ NCOPIES = int(os.environ.get("PBF_NCOPIES", "4"))
                                               # accounting in docs/PERF.md)
 QSHIFT = SEG // NCOPIES                       # window-start quantization grid
 assert SEG % NCOPIES == 0, "PBF_NCOPIES must divide PBF_SEG"
+MXU_SUM = os.environ.get("PBF_MXU_SUM", "0") == "1"
+                                              # A/B knob: do the final
+                                              # (OWN, CC) -> (OWN, 1) lane
+                                              # reduction as an MXU matvec
+                                              # against ones (f32-exact via
+                                              # Precision.HIGHEST) instead of
+                                              # the VPU lane-shuffle sum
 # Padding position for pad/margin slots: far enough outside the domain that
 # rd2 >= h^2 against any real particle (so the min-clamp kills the pair), but
 # MODEST in magnitude: the project kernel accumulates s * dx per lane, where
@@ -288,6 +299,16 @@ def _p4_from_pT(pT: jax.Array) -> jax.Array:
 # kernels
 # ---------------------------------------------------------------------------
 
+def _ksum(acc: jax.Array) -> jax.Array:
+    """(OWN, CC) accumulator -> (OWN, 1) row sums."""
+    if MXU_SUM:
+        ones = jnp.ones((acc.shape[1], 1), jnp.float32)
+        return jax.lax.dot_general(
+            acc, ones, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return jnp.sum(acc, axis=1, keepdims=True)
+
 def _pair_loop(segs_ref, hbm_ref, buf, sem, compute_chunk, init, g: int = 0):
     """Shared pipelined candidate streaming loop for own-chunk g.
 
@@ -398,9 +419,8 @@ def _density_kernel(cfg: SimConfig, segs_ref, own_ref, hbm_ref, lam_ref,
         zero = jnp.zeros((OWN, CC), jnp.float32)
         rho_b, g2_b = _pair_loop(segs_ref, hbm_ref, buf, sem, compute,
                                  (zero, zero), g=g)
-        rho = jnp.float32(cfg.poly6_coeff) * jnp.sum(rho_b, axis=1,
-                                                     keepdims=True)
-        g2 = l2 * jnp.sum(g2_b, axis=1, keepdims=True)
+        rho = jnp.float32(cfg.poly6_coeff) * _ksum(rho_b)
+        g2 = l2 * _ksum(g2_b)
         lam_ref[sl, :] = smoothing.lambda_from_sums(cfg, rho, g2)
 
 
@@ -445,10 +465,9 @@ def _project_kernel(cfg: SimConfig, segs_ref, own_ref, hbm_ref, out_ref,
         zero = jnp.zeros((OWN, CC), jnp.float32)
         dpx_b, dpy_b, dpz_b = _pair_loop(segs_ref, hbm_ref, buf, sem,
                                          compute, (zero, zero, zero), g=g)
-        ksum = functools.partial(jnp.sum, axis=1, keepdims=True)
-        out_ref[sl, 0:1] = ox + k_proj * ksum(dpx_b)
-        out_ref[sl, 1:2] = oy + k_proj * ksum(dpy_b)
-        out_ref[sl, 2:3] = oz + k_proj * ksum(dpz_b)
+        out_ref[sl, 0:1] = ox + k_proj * _ksum(dpx_b)
+        out_ref[sl, 1:2] = oy + k_proj * _ksum(dpy_b)
+        out_ref[sl, 2:3] = oz + k_proj * _ksum(dpz_b)
         out_ref[sl, 3:4] = olam - s_corr
 
 

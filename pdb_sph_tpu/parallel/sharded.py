@@ -106,7 +106,7 @@ class ParallelConfig:
         return ParallelConfig(
             n_devices=n_devices,
             capacity=cap,
-            mig_capacity=max(128, cap // 4),
+            mig_capacity=max(128, -(-(cap // 4) // 128) * 128),
             ghost_capacity=cap,
             z_cells_hi=z_hi,
         )
