@@ -28,14 +28,15 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "BENCH_MATRIX.json")
 
 
-def run_row(scene, n, settle_chunks=1, chunk=60, reps=3, diag=False):
+def run_row(scene, n, settle_chunks=1, chunk=60, reps=3, diag=False,
+            **cfg_overrides):
     import jax
     import pdb_sph_tpu as pbf
     from pdb_sph_tpu.core.step import diagnostics_fn, make_rollout
     from pdb_sph_tpu.utils.platform import auto_backend
     from pdb_sph_tpu.utils.timing import host_sync
 
-    cfg = pbf.default_config(n=n)
+    cfg = pbf.default_config(n=n, **cfg_overrides)
     state = pbf.spawn(cfg, scene, seed=0)
     rollout = make_rollout(cfg, backend=auto_backend(), unroll_steps=chunk)
 
@@ -97,8 +98,13 @@ def main() -> int:
     print(json.dumps(r))
 
     # 1M single-chip feasibility: fewer reps (each chunk is ~seconds), one
-    # settle chunk; the number bounds the per-chip share of a v5e-8 mesh
-    r = run_row("dam_break", 1_000_000, chunk=20, reps=2)
+    # settle chunk; the number bounds the per-chip share of a v5e-8 mesh.
+    # The box scales to keep the dam at rest density (wall = 2*(n/80k)^(1/3)
+    # — the reference 2.0 box physically holds at most ~640k particles at
+    # rest density, and an overpacked spawn both degenerates the physics and
+    # truncates the candidate plan)
+    r = run_row("dam_break", 1_000_000, chunk=20, reps=2, wall=4.64,
+                diag=True)
     r["reference"] = {"claim": "no reference configuration at this scale",
                       "source": "BASELINE.md:24"}
     rows.append(r)

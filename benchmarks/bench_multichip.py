@@ -31,6 +31,13 @@ def main(argv=None) -> int:
     ap.add_argument("--max-occ", type=int, default=4096,
                     help="cell-table rows per shard (drop for small "
                          "fake-device validation runs: compute scales with it)")
+    ap.add_argument("--wall", type=float, default=0.0,
+                    help="box size; 0 = auto-scale 2*(n/80k)^(1/3) so the "
+                         "dam spawns at rest density at any n (an 80k-box "
+                         "holds at most ~640k particles at rest density)")
+    ap.add_argument("--cell-capacity", type=int, default=256,
+                    help="cell-table slots per cell (the collapsing dam "
+                         "transiently exceeds 128/cell)")
     ap.add_argument("--backend", choices=("cell", "pallas"), default=None,
                     help="per-shard solver (default: pallas on TPU, cell "
                          "elsewhere)")
@@ -48,10 +55,13 @@ def main(argv=None) -> int:
     from pdb_sph_tpu.parallel import sharded
 
     n_dev = len(jax.devices())
+    wall = args.wall or round(2.0 * (args.n / 80_000.0) ** (1.0 / 3.0), 2)
     cfg = pbf.default_config(
         n=args.n,
+        wall=wall,
+        grid_width=max(40, int(np.ceil(wall * 1.25 / 0.2))),
         max_occupied_cells=args.max_occ,
-        cell_capacity=128,
+        cell_capacity=args.cell_capacity,
     )
     state = pbf.spawn(cfg, "dam_break", seed=0)
 

@@ -18,25 +18,32 @@ from ..state import SimState, make_state
 
 
 def standard(cfg: SimConfig, key: jax.Array) -> SimState:
-    """Uniform random in the unit cube [0,1)^3, v = 0.
+    """Uniform random in the cube [0, wall/2)^3, v = 0.
 
-    Mirrors src/FluidSimulator.cu:138-149. At n=80k this is already at rest
-    density (n * integral(W_poly6) ~= rho0), which is why the reference picked
-    rho0 = 6378.
+    At the reference box (wall=2, src/FluidSimulator.cu:358) this is exactly
+    the reference's unit-cube spawn (src/FluidSimulator.cu:138-149), already
+    at rest density for n=80k (n * integral(W_poly6) ~= rho0 — which is why
+    the reference picked rho0 = 6378). Spawn extents are defined RELATIVE to
+    the box so a scaled run (bigger wall, more particles, same number
+    density) is the same scene, not an overpacked blob.
     """
-    x = jax.random.uniform(key, (cfg.n, 3), jnp.float32)
+    x = jax.random.uniform(key, (cfg.n, 3), jnp.float32) * (0.5 * cfg.wall)
     return make_state(x)
 
 
 def dam_break(cfg: SimConfig, key: jax.Array) -> SimState:
-    """A rest-density column against the x=0 wall: [0,0.5]x[0,2]x[0,1].
+    """A rest-density column against the x=0 wall:
+    [0, wall/4] x [0, wall] x [0, wall/2].
 
-    Volume 1.0, so 80k particles sit at the same number density as the
-    standard scene; releasing it produces the README's dam-break flood
-    (README.md:9).
+    At the reference box (wall=2) that is [0,0.5]x[0,2]x[0,1] — volume 1.0,
+    so 80k particles sit at the same number density as the standard scene;
+    releasing it produces the README's dam-break flood (README.md:9). The
+    box-relative extents keep any (n, wall) pair with n/wall^3 = 10k at
+    rest density (the scaled 1M configuration uses wall = 2*(n/80k)^(1/3)).
     """
     u = jax.random.uniform(key, (cfg.n, 3), jnp.float32)
-    scale = jnp.array([0.5, cfg.wall, 1.0], jnp.float32)
+    w = cfg.wall
+    scale = jnp.array([0.25 * w, w, 0.5 * w], jnp.float32)
     return make_state(u * scale)
 
 

@@ -100,6 +100,21 @@ MXU_SUM = os.environ.get("PBF_MXU_SUM", "0") == "1"
                                               # against ones (f32-exact via
                                               # Precision.HIGHEST) instead of
                                               # the VPU lane-shuffle sum
+                                              # (measured 5 ms/step WORSE —
+                                              # rejected, kept as doc)
+MXU_RD2 = os.environ.get("PBF_MXU_RD2", "0") == "1"
+                                              # A/B knob: density-pass rd2 via
+                                              # |pi|^2 - 2 pi.pj + |pj|^2 with
+                                              # the dot on the MXU at
+                                              # Precision.HIGH (3-pass bf16,
+                                              # ~1e-6 absolute error at |p|<=2
+                                              # vs h^2 = 1e-2; the 1-pass
+                                              # default's 5e-2 error broke
+                                              # settling and HIGHEST's 6-pass
+                                              # was slower than the VPU delta
+                                              # chain - docs/PERF.md). Density
+                                              # only: project needs the deltas
+                                              # in registers anyway.
 # Padding position for pad/margin slots: far enough outside the domain that
 # rd2 >= h^2 against any real particle (so the min-clamp kills the pair), but
 # MODEST in magnitude: the project kernel accumulates s * dx per lane, where
@@ -397,13 +412,25 @@ def _density_kernel(cfg: SimConfig, segs_ref, own_ref, hbm_ref, lam_ref,
         ox = own_ref[sl, 0:1]                 # (OWN, 1) — no relayout: the
         oy = own_ref[sl, 1:2]                 # own side rides in the
         oz = own_ref[sl, 2:3]                 # transposed (n_pad, 4)
+        if MXU_RD2:
+            own3 = own_ref[sl, 0:3]           # (OWN, 3)
+            on2 = ox * ox + oy * oy + oz * oz  # (OWN, 1), hoisted per g
 
         def one(cand, ox=ox, oy=oy, oz=oz):
-            dx = ox - cand[0:1, :]            # (OWN, CC)
-            dy = oy - cand[1:2, :]
-            dz = oz - cand[2:3, :]
-            rd2 = jnp.maximum(jnp.minimum(dx * dx + dy * dy + dz * dz, h2),
-                              eps)
+            if MXU_RD2:
+                cx, cy, cz = cand[0:1, :], cand[1:2, :], cand[2:3, :]
+                cn2 = cx * cx + cy * cy + cz * cz          # (1, CC), cheap
+                dot = jax.lax.dot_general(
+                    own3, cand[0:3, :], (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGH,
+                )                                           # (OWN, CC) on MXU
+                rd2 = (on2 - (dot + dot)) + cn2
+            else:
+                dx = ox - cand[0:1, :]        # (OWN, CC)
+                dy = oy - cand[1:2, :]
+                dz = oz - cand[2:3, :]
+                rd2 = dx * dx + dy * dy + dz * dz
+            rd2 = jnp.maximum(jnp.minimum(rd2, h2), eps)
             t = h2 - rd2
             u = h - rd2 * jax.lax.rsqrt(rd2)
             t2 = t * t
