@@ -60,9 +60,13 @@ def main() -> int:
     from pdb_sph_tpu.utils.platform import auto_backend
 
     backend = auto_backend()
-    # 60 steps per device call: the tunneled TPU backend has ~30-60 ms of
-    # fixed per-call latency, so amortize it below 1 ms/step
-    chunk = 60
+    # 240 steps per device call: the tunneled TPU backend has ~30-60 ms of
+    # fixed per-call latency; at 60 steps/call that tax alone is 0.5-1.0
+    # ms/step (measured: bench 17.6 vs 16.4 in-scan for the same kernel).
+    # The production shape is device-resident rollouts (make_rollout's
+    # lax.scan — the TPU analogue of the reference's zero-copy VBO loop),
+    # so the bench amortizes the host boundary the same way real use does.
+    chunk = 240
     rollout = make_rollout(cfg, backend=backend, unroll_steps=chunk)
 
     # settle past the initial collapse transient + compile

@@ -112,9 +112,25 @@ MXU_RD2 = os.environ.get("PBF_MXU_RD2", "0") == "1"
                                               # default's 5e-2 error broke
                                               # settling and HIGHEST's 6-pass
                                               # was slower than the VPU delta
-                                              # chain - docs/PERF.md). Density
-                                              # only: project needs the deltas
-                                              # in registers anyway.
+                                              # chain - docs/PERF.md).
+MXU_PROJ = os.environ.get("PBF_MXU_PROJ", "0") == "1"
+                                              # A/B knob: project pass on the
+                                              # MXU. With rd2 from the MXU the
+                                              # per-lane deltas are only needed
+                                              # for the final accumulation
+                                              # sum_j s*(pi-pj), which itself
+                                              # factors as pi*S - s@candT (S =
+                                              # row sum of s) — one
+                                              # (OWN,CC)@(CC,3) matmul per
+                                              # block instead of three
+                                              # s*d accumulator chains.
+                                              # Coordinates are CHUNK-CENTERED
+                                              # (own-chunk mean subtracted from
+                                              # both sides) so the pi*S vs
+                                              # s@candT cancellation happens at
+                                              # ~cell-size magnitudes, and the
+                                              # rd2 error lands where u -> 0
+                                              # makes it harmless.
 # Padding position for pad/margin slots: far enough outside the domain that
 # rd2 >= h^2 against any real particle (so the min-clamp kills the pair), but
 # MODEST in magnitude: the project kernel accumulates s * dx per lane, where
@@ -314,6 +330,23 @@ def _p4_from_pT(pT: jax.Array) -> jax.Array:
 # kernels
 # ---------------------------------------------------------------------------
 
+def _bf16_split(a: jax.Array):
+    """f32 -> (hi, lo) bf16 pair with hi + lo ~= a to ~16 mantissa bits."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(ah, al, bh, bl, dims) -> jax.Array:
+    """3-pass bf16 emulation of a Precision.HIGH f32 dot (which Mosaic's
+    dot_general lowering rejects): hi*hi + hi*lo + lo*hi, dropping the
+    ~2^-18-relative lo*lo term. f32 accumulation on the MXU."""
+    d = functools.partial(
+        jax.lax.dot_general, dimension_numbers=(dims, ((), ())),
+        preferred_element_type=jnp.float32)
+    return d(ah, bh) + (d(ah, bl) + d(al, bh))
+
+
 def _ksum(acc: jax.Array) -> jax.Array:
     """(OWN, CC) accumulator -> (OWN, 1) row sums."""
     if MXU_SUM:
@@ -324,7 +357,8 @@ def _ksum(acc: jax.Array) -> jax.Array:
         )
     return jnp.sum(acc, axis=1, keepdims=True)
 
-def _pair_loop(segs_ref, hbm_ref, buf, sem, compute_chunk, init, g: int = 0):
+def _pair_loop(segs_ref, hbm_ref, buf, sem, compute_chunk, init, g: int = 0,
+               compute_one=None):
     """Shared pipelined candidate streaming loop for own-chunk g.
 
     Each fori iteration consumes TWO (4, CC) candidate blocks: Mosaic
@@ -338,16 +372,17 @@ def _pair_loop(segs_ref, hbm_ref, buf, sem, compute_chunk, init, g: int = 0):
     math (the count pads to round granularity) and Mosaic's switch costs
     more than it saves (docs/PERF.md). compute_chunk(a, b, acc) -> acc.
 
-    An odd block count rounds up to even: the padded block's segment
-    slots already point at the sentinel pad zone (the plan fills every
-    dead slot with n_pad), so it streams sentinel positions and
-    contributes exactly zero. No validity masking exists at this level —
-    the plan guarantees every lane is either a once-counted candidate or
-    a pair the rd2 clamp kills.
+    An ODD block count is handled by a single-block lax.cond epilogue
+    (compute_one(cand, acc) -> acc) instead of rounding up to even: the
+    rounded scheme streamed a full sentinel block through the ~20-op pair
+    math for every odd-count chunk — ~190 paid lanes/chunk of pure waste
+    in the round-2 lane accounting (docs/PERF.md), ~6% of pair time. No
+    validity masking exists at this level — the plan guarantees every
+    lane is either a once-counted candidate or a pair the rd2 clamp
+    kills.
     """
     total = segs_ref[0, g, SEGW - 1]
-    iters = (total + 1) // 2
-    padded = iters * 2
+    iters = total // 2
 
     def issue(slot, t):
         for j in range(SPB):
@@ -369,7 +404,7 @@ def _pair_loop(segs_ref, hbm_ref, buf, sem, compute_chunk, init, g: int = 0):
     # (NBUF-2)-block lookahead prologue: the copies are ~2 KiB, so
     # completion is dominated by DMA latency, not bandwidth.
     for t in range(NBUF - 2):
-        @pl.when(t < padded)
+        @pl.when(t < total)
         def _(t=t):
             issue(t, t)
 
@@ -378,11 +413,11 @@ def _pair_loop(segs_ref, hbm_ref, buf, sem, compute_chunk, init, g: int = 0):
         slot_a = jax.lax.rem(ta, NBUF)
         slot_b = jax.lax.rem(ta + 1, NBUF)
 
-        @pl.when(ta + NBUF - 2 < padded)
+        @pl.when(ta + NBUF - 2 < total)
         def _():
             issue(jax.lax.rem(ta + NBUF - 2, NBUF), ta + NBUF - 2)
 
-        @pl.when(ta + NBUF - 1 < padded)
+        @pl.when(ta + NBUF - 1 < total)
         def _():
             issue(jax.lax.rem(ta + NBUF - 1, NBUF), ta + NBUF - 1)
 
@@ -390,11 +425,18 @@ def _pair_loop(segs_ref, hbm_ref, buf, sem, compute_chunk, init, g: int = 0):
         wait(slot_b)
         return compute_chunk(buf[slot_a], buf[slot_b], acc)
 
-    return jax.lax.fori_loop(0, iters, body, init)
+    acc = jax.lax.fori_loop(0, iters, body, init)
+
+    def odd_tail(acc):
+        slot = jax.lax.rem(total - 1, NBUF)
+        wait(slot)
+        return compute_one(buf[slot], acc)
+
+    return jax.lax.cond(total % 2 == 1, odd_tail, lambda a: a, acc)
 
 
 def _density_kernel(cfg: SimConfig, segs_ref, own_ref, hbm_ref, lam_ref,
-                    buf, sem):
+                    buf, sem, mxu_rd2: bool = MXU_RD2):
     h = jnp.float32(cfg.h)
     h2 = jnp.float32(cfg.h2)
     eps = jnp.float32(EPS)
@@ -412,19 +454,17 @@ def _density_kernel(cfg: SimConfig, segs_ref, own_ref, hbm_ref, lam_ref,
         ox = own_ref[sl, 0:1]                 # (OWN, 1) — no relayout: the
         oy = own_ref[sl, 1:2]                 # own side rides in the
         oz = own_ref[sl, 2:3]                 # transposed (n_pad, 4)
-        if MXU_RD2:
-            own3 = own_ref[sl, 0:3]           # (OWN, 3)
+        if mxu_rd2:
+            o3h, o3l = _bf16_split(own_ref[sl, 0:3])       # (OWN, 3) pair
             on2 = ox * ox + oy * oy + oz * oz  # (OWN, 1), hoisted per g
 
         def one(cand, ox=ox, oy=oy, oz=oz):
-            if MXU_RD2:
+            if mxu_rd2:
                 cx, cy, cz = cand[0:1, :], cand[1:2, :], cand[2:3, :]
                 cn2 = cx * cx + cy * cy + cz * cz          # (1, CC), cheap
-                dot = jax.lax.dot_general(
-                    own3, cand[0:3, :], (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGH,
-                )                                           # (OWN, CC) on MXU
-                rd2 = (on2 - (dot + dot)) + cn2
+                c3h, c3l = _bf16_split(cand[0:3, :])
+                dot = _dot3(o3h, o3l, c3h, c3l, ((1,), (0,)))
+                rd2 = (on2 - (dot + dot)) + cn2            # (OWN, CC)
             else:
                 dx = ox - cand[0:1, :]        # (OWN, CC)
                 dy = oy - cand[1:2, :]
@@ -443,21 +483,30 @@ def _density_kernel(cfg: SimConfig, segs_ref, own_ref, hbm_ref, lam_ref,
             rb, gb = one(cand_b)
             return rho_b + (ra + rb), g2_b + (ga + gb)
 
+        def compute1(cand, acc):
+            ra, ga = one(cand)
+            return acc[0] + ra, acc[1] + ga
+
         zero = jnp.zeros((OWN, CC), jnp.float32)
         rho_b, g2_b = _pair_loop(segs_ref, hbm_ref, buf, sem, compute,
-                                 (zero, zero), g=g)
+                                 (zero, zero), g=g, compute_one=compute1)
         rho = jnp.float32(cfg.poly6_coeff) * _ksum(rho_b)
         g2 = l2 * _ksum(g2_b)
         lam_ref[sl, :] = smoothing.lambda_from_sums(cfg, rho, g2)
 
 
 def _project_kernel(cfg: SimConfig, segs_ref, own_ref, hbm_ref, out_ref,
-                    buf, sem):
+                    buf, sem, mxu_proj: bool = MXU_PROJ):
     h = jnp.float32(cfg.h)
     h2 = jnp.float32(cfg.h2)
     eps = jnp.float32(EPS)
     k_proj = jnp.float32(-cfg.spiky_grad_coeff * cfg.inv_rho0)
     s_corr = jnp.float32(cfg.s_corr)
+
+    if mxu_proj:
+        _project_kernel_mxu(cfg, segs_ref, own_ref, hbm_ref, out_ref,
+                            buf, sem)
+        return
 
     # VPU deltas here (unlike the density pass): the delta-p accumulation
     # needs (pi - pj) per lane anyway, and with the deltas in registers the
@@ -489,12 +538,82 @@ def _project_kernel(cfg: SimConfig, segs_ref, own_ref, hbm_ref, out_ref,
             return (dpx_b + (xa + xb), dpy_b + (ya + yb),
                     dpz_b + (za + zb))
 
+        def compute1(cand, acc):
+            xa, ya, za = one(cand)
+            return acc[0] + xa, acc[1] + ya, acc[2] + za
+
         zero = jnp.zeros((OWN, CC), jnp.float32)
         dpx_b, dpy_b, dpz_b = _pair_loop(segs_ref, hbm_ref, buf, sem,
-                                         compute, (zero, zero, zero), g=g)
+                                         compute, (zero, zero, zero), g=g,
+                                         compute_one=compute1)
         out_ref[sl, 0:1] = ox + k_proj * _ksum(dpx_b)
         out_ref[sl, 1:2] = oy + k_proj * _ksum(dpy_b)
         out_ref[sl, 2:3] = oz + k_proj * _ksum(dpz_b)
+        out_ref[sl, 3:4] = olam - s_corr
+
+
+def _project_kernel_mxu(cfg: SimConfig, segs_ref, own_ref, hbm_ref, out_ref,
+                        buf, sem):
+    """MXU project pass: rd2 via |pi|^2 - 2 pi.pj + |pj|^2 and the delta-p
+    accumulation factored as own3 * S - s @ cand3^T (S = row sum of s), so
+    both heavy contractions ride the MXU at Precision.HIGH; only the s
+    chain (clamp/rsqrt/scale) stays on the VPU. Replaces the VPU variant's
+    three s*d accumulator chains (~8 big ops/block) with one (OWN,CC) @
+    (CC,3) matmul plus a small (OWN,3) add.
+
+    Numerics (why f32-exact per-lane deltas are not needed): the bf16x3
+    HIGH dot leaves ~1e-6 absolute rd2 error at |p| <= 2 against h^2 =
+    1e-2, and the spiky kernel is C^1 at r == h (u = h - r -> 0), so
+    boundary misclassification carries vanishing weight; the self pair no
+    longer cancels bit-exactly but to ~1e-10 (s_self ~ h^2*2*lambda times
+    the dot's rounding on |p| <= 2). Validated by the pallas==cell parity
+    tests and the hardware settle gate.
+    """
+    h = jnp.float32(cfg.h)
+    h2 = jnp.float32(cfg.h2)
+    eps = jnp.float32(EPS)
+    k_proj = jnp.float32(-cfg.spiky_grad_coeff * cfg.inv_rho0)
+    s_corr = jnp.float32(cfg.s_corr)
+
+    for g in range(GB):
+        sl = slice(g * OWN, (g + 1) * OWN)
+        own3 = own_ref[sl, 0:3]                          # (OWN, 3)
+        ox = own_ref[sl, 0:1]
+        oy = own_ref[sl, 1:2]
+        oz = own_ref[sl, 2:3]
+        on2 = ox * ox + oy * oy + oz * oz                # (OWN, 1), per g
+        o3h, o3l = _bf16_split(own3)
+        olam = own_ref[sl, 3:4] + s_corr
+
+        def one(cand, own3=own3, on2=on2, olam=olam, o3h=o3h, o3l=o3l):
+            cx, cy, cz = cand[0:1, :], cand[1:2, :], cand[2:3, :]
+            cn2 = cx * cx + cy * cy + cz * cz            # (1, CC), cheap rows
+            c3h, c3l = _bf16_split(cand[0:3, :])
+            dot = _dot3(o3h, o3l, c3h, c3l, ((1,), (0,)))
+            rd2 = jnp.maximum(jnp.minimum((on2 - (dot + dot)) + cn2, h2),
+                              eps)
+            u = h - rd2 * jax.lax.rsqrt(rd2)
+            s = (u * u) * (olam + cand[3:4, :])          # (OWN, CC)
+            sh, sL = _bf16_split(s)
+            sp = _dot3(sh, sL, c3h, c3l, ((1,), (1,)))   # (OWN, 3) on MXU
+            return s, sp
+
+        def compute(cand_a, cand_b, acc):
+            s_b, sp_b = acc
+            sa, pa = one(cand_a)
+            sb, pb = one(cand_b)
+            return s_b + (sa + sb), sp_b + (pa + pb)
+
+        def compute1(cand, acc):
+            sa, pa = one(cand)
+            return acc[0] + sa, acc[1] + pa
+
+        acc_s, acc_p = _pair_loop(
+            segs_ref, hbm_ref, buf, sem, compute,
+            (jnp.zeros((OWN, CC), jnp.float32),
+             jnp.zeros((OWN, 3), jnp.float32)), g=g, compute_one=compute1)
+        S = _ksum(acc_s)                                 # (OWN, 1)
+        out_ref[sl, 0:3] = own3 + k_proj * (own3 * S - acc_p)
         out_ref[sl, 3:4] = olam - s_corr
 
 
@@ -522,12 +641,13 @@ def _segs_batched(plan: SegPlan):
 
 
 def density_pass(cfg: SimConfig, pT: jax.Array, cand: jax.Array,
-                 plan: SegPlan, interpret: bool = False) -> jax.Array:
+                 plan: SegPlan, interpret: bool = False,
+                 mxu_rd2: bool = MXU_RD2) -> jax.Array:
     """(pT (n_pad, 4), cand (4, width) rows x,y,z,lambda) -> lambda (n_pad, 1)."""
     n_pad = pT.shape[0]
     seg_spec, own_spec, hbm_spec, scratch = _common_specs()
     return pl.pallas_call(
-        functools.partial(_density_kernel, cfg),
+        functools.partial(_density_kernel, cfg, mxu_rd2=mxu_rd2),
         grid=(n_pad // (OWN * GB),),
         in_specs=[seg_spec, own_spec, hbm_spec],
         out_specs=pl.BlockSpec((GB * OWN, 1), lambda i: (i, 0),
@@ -539,13 +659,14 @@ def density_pass(cfg: SimConfig, pT: jax.Array, cand: jax.Array,
 
 
 def project_pass(cfg: SimConfig, pT: jax.Array, cand: jax.Array,
-                 plan: SegPlan, interpret: bool = False) -> jax.Array:
+                 plan: SegPlan, interpret: bool = False,
+                 mxu_proj: bool = MXU_PROJ) -> jax.Array:
     """(pT with lambda column, cand (4, width) rows x,y,z,lambda) ->
     new pT (n_pad, 4)."""
     n_pad = pT.shape[0]
     seg_spec, own_spec, hbm_spec, scratch = _common_specs()
     return pl.pallas_call(
-        functools.partial(_project_kernel, cfg),
+        functools.partial(_project_kernel, cfg, mxu_proj=mxu_proj),
         grid=(n_pad // (OWN * GB),),
         in_specs=[seg_spec, own_spec, hbm_spec],
         out_specs=pl.BlockSpec((GB * OWN, 4), lambda i: (i, 0),
