@@ -28,8 +28,9 @@ def autotune(n: int) -> int:
     from sweep_geometry import run_config
 
     best = (float("inf"), None)
-    for own, cc, nbuf, gb in [(64, 512, 6, 8), (64, 512, 8, 16),
-                              (64, 512, 8, 8), (128, 512, 8, 16)]:
+    for own, cc, nbuf, gb in [(64, 384, 8, 16), (64, 256, 8, 16),
+                              (64, 512, 8, 16), (64, 384, 12, 16),
+                              (96, 384, 8, 16)]:
         ms, err = run_config(own, cc, nbuf, gb, n, 5, 20)
         tag = dict(PBF_OWN=str(own), PBF_CC=str(cc), PBF_NBUF=str(nbuf),
                    PBF_GB=str(gb))

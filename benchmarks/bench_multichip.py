@@ -84,14 +84,25 @@ def main(argv=None) -> int:
                                         unroll_steps=chunk)
     x, v, ids = sharded.distribute(cfg, pcfg, state, mesh)
 
-    for _ in range(max(1, args.warmup // chunk)):
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    log(f"[bench_multichip] n={args.n} devices={n_dev} backend={backend} "
+        f"wall={wall} chunk={chunk}: compiling + warmup...")
+    t0 = time.perf_counter()
+    for i in range(max(1, args.warmup // chunk)):
         x, v, ids, stats = roll(x, v, ids)
-    np.asarray(stats)  # fence
+        np.asarray(stats)  # fence
+        log(f"[bench_multichip] warmup chunk {i} done "
+            f"({time.perf_counter() - t0:.1f}s elapsed)")
 
     steps = (args.steps // chunk) * chunk
     t0 = time.perf_counter()
-    for _ in range(steps // chunk):
+    for i in range(steps // chunk):
         x, v, ids, stats = roll(x, v, ids)
+        np.asarray(stats[0, 0])
+        log(f"[bench_multichip] measured chunk {i} done "
+            f"({time.perf_counter() - t0:.1f}s elapsed)")
     stats = np.asarray(stats)  # device->host fence
     wall = time.perf_counter() - t0
 

@@ -54,7 +54,19 @@ from . import smoothing
 
 # Block geometry, env-overridable for autotuning sweeps.
 OWN = int(os.environ.get("PBF_OWN", "64"))    # own-chunk size (accum rows)
-CC = int(os.environ.get("PBF_CC", "512"))     # candidate-block lane width
+CC = int(os.environ.get("PBF_CC", "384"))     # candidate-block lane width:
+                                              # round-2 hardware sweep under
+                                              # the odd-block epilogue found
+                                              # 384 > 256 > 512 (1.023x /
+                                              # 1.021x / 0.974x of baseline at
+                                              # 80k) — smaller blocks relieve
+                                              # accumulator vreg pressure
+                                              # (project keeps 3 (OWN,CC) f32
+                                              # accumulators live) and cut the
+                                              # SPB rounding waste; 128 is
+                                              # slower again (per-block
+                                              # overhead dominates) and fails
+                                              # Mosaic compile at NBUF=8
 NBUF = int(os.environ.get("PBF_NBUF", "8"))   # DMA pipeline depth in BLOCKS:
                                               # the 2 KiB segment copies are
                                               # latency-bound and the loop
@@ -124,13 +136,11 @@ MXU_PROJ = os.environ.get("PBF_MXU_PROJ", "0") == "1"
                                               # (OWN,CC)@(CC,3) matmul per
                                               # block instead of three
                                               # s*d accumulator chains.
-                                              # Coordinates are CHUNK-CENTERED
-                                              # (own-chunk mean subtracted from
-                                              # both sides) so the pi*S vs
-                                              # s@candT cancellation happens at
-                                              # ~cell-size magnitudes, and the
-                                              # rd2 error lands where u -> 0
-                                              # makes it harmless.
+                                              # Measured SLOWER than the VPU
+                                              # chain (654 vs 472 ns/blk,
+                                              # docs/PERF.md round-2 MXU
+                                              # closure) — kept only as
+                                              # executable documentation.
 # Padding position for pad/margin slots: far enough outside the domain that
 # rd2 >= h^2 against any real particle (so the min-clamp kills the pair), but
 # MODEST in magnitude: the project kernel accumulates s * dx per lane, where
