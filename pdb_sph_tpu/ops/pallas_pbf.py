@@ -70,8 +70,9 @@ CC = int(os.environ.get("PBF_CC", "384"))     # candidate-block lane width:
 NBUF = int(os.environ.get("PBF_NBUF", "8"))   # DMA pipeline depth in BLOCKS:
                                               # the 2 KiB segment copies are
                                               # latency-bound and the loop
-                                              # consumes 2 blocks/iteration,
-                                              # so keep >= 4 in flight
+                                              # consumes CHAINS blocks per
+                                              # iteration, so keep >= 2*CHAINS
+                                              # in flight
 GB = int(os.environ.get("PBF_GB", "16"))      # own-chunks per grid step
                                               # (amortizes Mosaic's per-grid-
                                               # step pipeline cost; the
@@ -86,12 +87,24 @@ SEG = int(os.environ.get("PBF_SEG", "128"))   # candidate segment width: a
                                               # window quantization
 SPB = CC // SEG                               # segments per candidate block
 # per-own-chunk segment capacity (~31744 lanes), rounded to an even block
-# count so the 2-block loop's padded table fits SEGW-1 slots
+# count (historical: the pre-epilogue loop padded odd counts to even; the
+# rounding is harmless now and keeps the table inside SEGW-1 slots)
 MAX_SEG = (31744 // SEG) // (2 * SPB) * (2 * SPB)
 KW = 4096 // SEG                              # per-window segment cap (4096
                                               # lanes); 9*KW must cover MAX_SEG
 SEGW = 256                                    # SMEM seg-table width; last lane
                                               # holds T (candidate block count)
+CHAINS = int(os.environ.get("PBF_CHAINS", "3"))
+                                              # candidate blocks consumed per
+                                              # pair-loop iteration = number
+                                              # of independent compute chains
+                                              # Mosaic can interleave at issue
+                                              # throughput (see _pair_loop).
+                                              # At CC=512 two chains were the
+                                              # spill point; the CC=384 blocks
+                                              # fit three (hardware A/B: 3 ->
+                                              # 1.021-1.022x vs 2 -> 1.013x,
+                                              # 4 -> 1.003x)
 NCOPIES = int(os.environ.get("PBF_NCOPIES", "4"))
                                               # shifted twin copies of the
                                               # candidate stream: copy c holds
@@ -367,32 +380,38 @@ def _ksum(acc: jax.Array) -> jax.Array:
         )
     return jnp.sum(acc, axis=1, keepdims=True)
 
-def _pair_loop(segs_ref, hbm_ref, buf, sem, compute_chunk, init, g: int = 0,
-               compute_one=None):
+def _tree_add(a, b):
+    return jax.tree_util.tree_map(jnp.add, a, b)
+
+
+def _pair_loop(segs_ref, hbm_ref, buf, sem, term_fn, init, g: int = 0):
     """Shared pipelined candidate streaming loop for own-chunk g.
 
-    Each fori iteration consumes TWO (4, CC) candidate blocks: Mosaic
+    term_fn(cand) -> pytree of (OWN, CC) partial terms for one candidate
+    block; the loop accumulates their tree-sum over every block of the
+    chunk's plan.
+
+    Each fori iteration consumes CHAINS (4, CC) candidate blocks: Mosaic
     does not software-pipeline across fori_loop iterations, so a single
     block per iteration serializes the whole ~19-op dependency chain at op
-    *latency* (~350 ns/block measured); two independent chains interleave
-    at issue throughput (~100-120 ns/block; four spill and get slower).
-    The ring slots are dynamic indices; static-slot variants (full NBUF
-    rounds, or a lax.switch over slot pairs) both measured SLOWER than
-    paying buf[slot]'s dynamic-slice tax — rounds add sentinel-block pair
-    math (the count pads to round granularity) and Mosaic's switch costs
-    more than it saves (docs/PERF.md). compute_chunk(a, b, acc) -> acc.
+    *latency* (~350 ns/block measured); independent chains interleave at
+    issue throughput (~100-120 ns/block). CHAINS=2 was optimal at CC=512
+    (four chains spilled vector registers and got slower); the knob is
+    env-tunable because the spill point moves with CC. The ring slots are
+    dynamic indices; static-slot variants (full NBUF rounds, or a
+    lax.switch over slot tuples) both measured SLOWER than paying
+    buf[slot]'s dynamic-slice tax (docs/PERF.md).
 
-    An ODD block count is handled by a single-block lax.cond epilogue
-    (compute_one(cand, acc) -> acc) instead of rounding up to even: the
-    rounded scheme streamed a full sentinel block through the ~20-op pair
-    math for every odd-count chunk — ~190 paid lanes/chunk of pure waste
-    in the round-2 lane accounting (docs/PERF.md), ~6% of pair time. No
-    validity masking exists at this level — the plan guarantees every
-    lane is either a once-counted candidate or a pair the rd2 clamp
-    kills.
+    LEFTOVER blocks (total % CHAINS) are handled by single-block lax.cond
+    epilogues instead of rounding the count up: the rounded scheme
+    streamed full sentinel blocks through the ~20-op pair math — ~190
+    paid lanes/chunk of pure waste at CHAINS=2/CC=512 in the round-2 lane
+    accounting (docs/PERF.md), ~6% of pair time. No validity masking
+    exists at this level — the plan guarantees every lane is either a
+    once-counted candidate or a pair the rd2 clamp kills.
     """
     total = segs_ref[0, g, SEGW - 1]
-    iters = total // 2
+    iters = total // CHAINS
 
     def issue(slot, t):
         for j in range(SPB):
@@ -411,38 +430,46 @@ def _pair_loop(segs_ref, hbm_ref, buf, sem, compute_chunk, init, g: int = 0,
                 sem.at[slot, j],
             ).wait()
 
-    # (NBUF-2)-block lookahead prologue: the copies are ~2 KiB, so
+    # (NBUF-CHAINS)-block lookahead prologue: the copies are ~2 KiB, so
     # completion is dominated by DMA latency, not bandwidth.
-    for t in range(NBUF - 2):
+    for t in range(NBUF - CHAINS):
         @pl.when(t < total)
         def _(t=t):
             issue(t, t)
 
     def body(i, acc):
-        ta = i * 2
-        slot_a = jax.lax.rem(ta, NBUF)
-        slot_b = jax.lax.rem(ta + 1, NBUF)
+        ta = i * CHAINS
+        for c in range(CHAINS):
+            @pl.when(ta + NBUF - CHAINS + c < total)
+            def _(c=c):
+                issue(jax.lax.rem(ta + NBUF - CHAINS + c, NBUF),
+                      ta + NBUF - CHAINS + c)
 
-        @pl.when(ta + NBUF - 2 < total)
-        def _():
-            issue(jax.lax.rem(ta + NBUF - 2, NBUF), ta + NBUF - 2)
-
-        @pl.when(ta + NBUF - 1 < total)
-        def _():
-            issue(jax.lax.rem(ta + NBUF - 1, NBUF), ta + NBUF - 1)
-
-        wait(slot_a)
-        wait(slot_b)
-        return compute_chunk(buf[slot_a], buf[slot_b], acc)
+        slots = []
+        for c in range(CHAINS):
+            slot = jax.lax.rem(ta + c, NBUF)
+            wait(slot)
+            slots.append(slot)
+        terms = [term_fn(buf[slot]) for slot in slots]
+        while len(terms) > 1:  # pairwise tree: chains stay independent
+            terms = [_tree_add(terms[k], terms[k + 1])
+                     if k + 1 < len(terms) else terms[k]
+                     for k in range(0, len(terms), 2)]
+        return _tree_add(acc, terms[0])
 
     acc = jax.lax.fori_loop(0, iters, body, init)
 
-    def odd_tail(acc):
-        slot = jax.lax.rem(total - 1, NBUF)
-        wait(slot)
-        return compute_one(buf[slot], acc)
+    # leftover epilogue: blocks iters*CHAINS .. total-1 (0..CHAINS-1 many)
+    rem = total - iters * CHAINS
+    for k in range(CHAINS - 1):
+        def tail(acc, k=k):
+            idx = iters * CHAINS + k
+            slot = jax.lax.rem(idx, NBUF)
+            wait(slot)
+            return _tree_add(acc, term_fn(buf[slot]))
 
-    return jax.lax.cond(total % 2 == 1, odd_tail, lambda a: a, acc)
+        acc = jax.lax.cond(k < rem, tail, lambda a: a, acc)
+    return acc
 
 
 def _density_kernel(cfg: SimConfig, segs_ref, own_ref, hbm_ref, lam_ref,
@@ -487,19 +514,9 @@ def _density_kernel(cfg: SimConfig, segs_ref, own_ref, hbm_ref, lam_ref,
             u2 = u * u
             return t2 * t, (u2 * u2) * rd2
 
-        def compute(cand_a, cand_b, acc):
-            rho_b, g2_b = acc
-            ra, ga = one(cand_a)
-            rb, gb = one(cand_b)
-            return rho_b + (ra + rb), g2_b + (ga + gb)
-
-        def compute1(cand, acc):
-            ra, ga = one(cand)
-            return acc[0] + ra, acc[1] + ga
-
         zero = jnp.zeros((OWN, CC), jnp.float32)
-        rho_b, g2_b = _pair_loop(segs_ref, hbm_ref, buf, sem, compute,
-                                 (zero, zero), g=g, compute_one=compute1)
+        rho_b, g2_b = _pair_loop(segs_ref, hbm_ref, buf, sem, one,
+                                 (zero, zero), g=g)
         rho = jnp.float32(cfg.poly6_coeff) * _ksum(rho_b)
         g2 = l2 * _ksum(g2_b)
         lam_ref[sl, :] = smoothing.lambda_from_sums(cfg, rho, g2)
@@ -541,21 +558,9 @@ def _project_kernel(cfg: SimConfig, segs_ref, own_ref, hbm_ref, out_ref,
             s = (u * u) * (olam + cand[3:4, :])       # (OWN, CC)
             return s * dx, s * dy, s * dz
 
-        def compute(cand_a, cand_b, acc):
-            dpx_b, dpy_b, dpz_b = acc
-            xa, ya, za = one(cand_a)
-            xb, yb, zb = one(cand_b)
-            return (dpx_b + (xa + xb), dpy_b + (ya + yb),
-                    dpz_b + (za + zb))
-
-        def compute1(cand, acc):
-            xa, ya, za = one(cand)
-            return acc[0] + xa, acc[1] + ya, acc[2] + za
-
         zero = jnp.zeros((OWN, CC), jnp.float32)
         dpx_b, dpy_b, dpz_b = _pair_loop(segs_ref, hbm_ref, buf, sem,
-                                         compute, (zero, zero, zero), g=g,
-                                         compute_one=compute1)
+                                         one, (zero, zero, zero), g=g)
         out_ref[sl, 0:1] = ox + k_proj * _ksum(dpx_b)
         out_ref[sl, 1:2] = oy + k_proj * _ksum(dpy_b)
         out_ref[sl, 2:3] = oz + k_proj * _ksum(dpz_b)
@@ -608,20 +613,10 @@ def _project_kernel_mxu(cfg: SimConfig, segs_ref, own_ref, hbm_ref, out_ref,
             sp = _dot3(sh, sL, c3h, c3l, ((1,), (1,)))   # (OWN, 3) on MXU
             return s, sp
 
-        def compute(cand_a, cand_b, acc):
-            s_b, sp_b = acc
-            sa, pa = one(cand_a)
-            sb, pb = one(cand_b)
-            return s_b + (sa + sb), sp_b + (pa + pb)
-
-        def compute1(cand, acc):
-            sa, pa = one(cand)
-            return acc[0] + sa, acc[1] + pa
-
         acc_s, acc_p = _pair_loop(
-            segs_ref, hbm_ref, buf, sem, compute,
+            segs_ref, hbm_ref, buf, sem, one,
             (jnp.zeros((OWN, CC), jnp.float32),
-             jnp.zeros((OWN, 3), jnp.float32)), g=g, compute_one=compute1)
+             jnp.zeros((OWN, 3), jnp.float32)), g=g)
         S = _ksum(acc_s)                                 # (OWN, 1)
         out_ref[sl, 0:3] = own3 + k_proj * (own3 * S - acc_p)
         out_ref[sl, 3:4] = olam - s_corr
