@@ -28,8 +28,12 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "BENCH_MATRIX.json")
 
 
-def run_row(scene, n, settle_chunks=1, chunk=60, reps=3, diag=False,
+def run_row(scene, n, settle_chunks=1, chunk=240, reps=3, diag=False,
             **cfg_overrides):
+    # chunk=240 matches bench.py: the tunneled backend's ~30-60 ms fixed
+    # per-call latency is 0.5-1.0 ms/step at 60 steps/call — a measurement
+    # tax no production rollout pays (the 1M row keeps a smaller chunk to
+    # bound wall time; its per-step cost dwarfs the tax anyway)
     import jax
     import pdb_sph_tpu as pbf
     from pdb_sph_tpu.core.step import diagnostics_fn, make_rollout

@@ -64,9 +64,8 @@ CC = int(os.environ.get("PBF_CC", "384"))     # candidate-block lane width:
                                               # (project keeps 3 (OWN,CC) f32
                                               # accumulators live) and cut the
                                               # SPB rounding waste; 128 is
-                                              # slower again (per-block
-                                              # overhead dominates) and fails
-                                              # Mosaic compile at NBUF=8
+                                              # slower again (0.964x — the
+                                              # per-block overhead dominates)
 NBUF = int(os.environ.get("PBF_NBUF", "8"))   # DMA pipeline depth in BLOCKS:
                                               # the 2 KiB segment copies are
                                               # latency-bound and the loop
