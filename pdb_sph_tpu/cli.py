@@ -70,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar=("X", "Y", "Z"), help="camera look-at point")
     p.add_argument("--fov", type=float, default=None,
                    help="vertical field of view in degrees (default 45)")
+    p.add_argument("--orbit", type=float, default=0.0,
+                   help="degrees of camera yaw around the look-at point per "
+                        "rendered frame — the headless equivalent of the "
+                        "reference's fly camera (src/camera.h:29-136)")
     p.add_argument("--profile", type=str, default=None,
                    help="write a jax.profiler trace to this directory "
                         "(view with TensorBoard / xprof)")
@@ -131,7 +135,8 @@ def main(argv=None) -> int:
         if args.fov is not None:
             render_kwargs["fov"] = args.fov
         writer = frames.FrameWriter(args.out, args.width, args.height,
-                                    gif_path=args.gif, **render_kwargs)
+                                    gif_path=args.gif, orbit_deg=args.orbit,
+                                    **render_kwargs)
         writer.submit(int(state.step), state.x)
 
     log = MetricsLogger(args.metrics)

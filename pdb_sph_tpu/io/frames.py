@@ -181,11 +181,18 @@ class FrameWriter:
 
     def __init__(self, out_dir: str, width: int = 1280, height: int = 720,
                  max_pending: int = 4, gif_path: str | None = None,
-                 gif_fps: float = 30.0, **render_kwargs):
+                 gif_fps: float = 30.0, orbit_deg: float = 0.0,
+                 **render_kwargs):
         os.makedirs(out_dir, exist_ok=True)
         self.out_dir = out_dir
         self.width, self.height = width, height
         self.render_kwargs = render_kwargs
+        self.orbit_deg = orbit_deg        # camera yaw around the look-at
+                                          # point per rendered frame — the
+                                          # headless equivalent of the
+                                          # reference's fly camera
+                                          # (src/camera.h:29-136)
+        self._submitted = 0
         self.gif_path = gif_path
         self.gif_fps = gif_fps
         self._gif_files: list[str] = []   # frames stream from disk at close;
@@ -202,10 +209,23 @@ class FrameWriter:
             item = self._q.get()
             if item is None:
                 return
-            step, pos = item
+            step, idx, pos = item
             try:
+                kwargs = self.render_kwargs
+                if self.orbit_deg:
+                    kwargs = dict(kwargs)
+                    eye = np.asarray(
+                        kwargs.get("eye", renderer.DEFAULT_EYE), np.float32)
+                    tgt = np.asarray(
+                        kwargs.get("target", renderer.DEFAULT_TARGET),
+                        np.float32)
+                    a = np.deg2rad(self.orbit_deg * idx)
+                    c, s = np.cos(a), np.sin(a)
+                    r = eye - tgt                 # yaw about the world-up axis
+                    kwargs["eye"] = tuple(tgt + np.float32(
+                        [c * r[0] + s * r[2], r[1], -s * r[0] + c * r[2]]))
                 rgb = renderer.render(pos, self.width, self.height,
-                                      **self.render_kwargs)
+                                      **kwargs)
                 fname = os.path.join(self.out_dir, f"frame_{step:06d}.png")
                 write_png(fname, rgb)
                 if self.gif_path:
@@ -224,7 +244,8 @@ class FrameWriter:
     def submit(self, step: int, positions) -> None:
         if self._err:
             raise RuntimeError("frame writer failed") from self._err
-        self._q.put((int(step), np.asarray(positions)))
+        self._q.put((int(step), self._submitted, np.asarray(positions)))
+        self._submitted += 1
 
     def close(self) -> None:
         self._q.put(None)

@@ -172,6 +172,32 @@ def test_frame_writer_async(tmp_path):
     ]
 
 
+def test_frame_writer_orbit_moves_camera(tmp_path):
+    """--orbit's per-frame camera yaw (the headless fly-camera equivalent):
+    identical particle positions must render DIFFERENTLY across frames when
+    orbiting, and a full 360-degree orbit must land back on frame 0's view."""
+    pos = (np.random.default_rng(3).random((80, 3)) * 0.8 + 0.6).astype(
+        np.float32)
+    out = str(tmp_path / "orbit")
+    with frames.FrameWriter(out, width=64, height=48, orbit_deg=120.0) as w:
+        for s in range(4):                  # 0, 120, 240, 360 degrees
+            w.submit(s, pos)
+    f = [frames.read_png(os.path.join(out, f"frame_{s:06d}.png"))
+         for s in range(4)]
+    assert not np.array_equal(f[0], f[1]), "orbit did not move the camera"
+    assert not np.array_equal(f[1], f[2])
+    np.testing.assert_array_equal(f[0], f[3])  # 360 degrees = full circle
+
+    out2 = str(tmp_path / "static")
+    with frames.FrameWriter(out2, width=64, height=48) as w:
+        for s in range(2):
+            w.submit(s, pos)
+    g = [frames.read_png(os.path.join(out2, f"frame_{s:06d}.png"))
+         for s in range(2)]
+    np.testing.assert_array_equal(g[0], g[1])  # no orbit -> static camera
+    np.testing.assert_array_equal(g[0], f[0])  # orbit frame 0 = base view
+
+
 def test_cli_smoke(tmp_path):
     from pdb_sph_tpu.cli import main
     metrics = str(tmp_path / "m.jsonl")
