@@ -17,6 +17,7 @@ chunks, host-fenced, best of several.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -26,6 +27,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "BENCH_MATRIX.json")
+
+# The 1M row raises the per-chunk candidate capacity (PBF_MAXLANES): local
+# compression during the dam collapse transiently exceeds the default
+# 31744-lane budget (round-2 matrix recorded plan_overflow=4352 over 60
+# steps). The knob is module-level state read at import, so the row runs in
+# a subprocess; the headline rows keep the default (narrower seg table =
+# cheaper plan build).
+ROW_1M_ENV = {"PBF_MAXLANES": "65536"}
 
 
 def run_row(scene, n, settle_chunks=1, chunk=240, reps=3, diag=False,
@@ -78,7 +87,23 @@ def run_row(scene, n, settle_chunks=1, chunk=240, reps=3, diag=False,
     return row
 
 
+def row_1m() -> dict:
+    r = run_row("dam_break", 1_000_000, chunk=20, reps=2, wall=4.64,
+                diag=True)
+    r["reference"] = {"claim": "no reference configuration at this scale",
+                      "source": "BASELINE.md:24"}
+    from pdb_sph_tpu.ops import pallas_pbf
+    r["env"] = {"PBF_MAXLANES": pallas_pbf.MAXLANES}
+    return r
+
+
 def main() -> int:
+    if "--row" in sys.argv:
+        which = sys.argv[sys.argv.index("--row") + 1]
+        assert which == "1m", which
+        print("ROW " + json.dumps(row_1m()))
+        return 0
+
     rows = []
 
     r = run_row("standard", 40_000)
@@ -106,11 +131,18 @@ def main() -> int:
     # The box scales to keep the dam at rest density (wall = 2*(n/80k)^(1/3)
     # — the reference 2.0 box physically holds at most ~640k particles at
     # rest density, and an overpacked spawn both degenerates the physics and
-    # truncates the candidate plan)
-    r = run_row("dam_break", 1_000_000, chunk=20, reps=2, wall=4.64,
-                diag=True)
-    r["reference"] = {"claim": "no reference configuration at this scale",
-                      "source": "BASELINE.md:24"}
+    # truncates the candidate plan). Runs in a subprocess with raised
+    # candidate capacity (ROW_1M_ENV above).
+    env = dict(os.environ)
+    env.update(ROW_1M_ENV)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--row", "1m"],
+        env=env, capture_output=True, text=True)
+    marker = [ln for ln in out.stdout.splitlines() if ln.startswith("ROW ")]
+    if out.returncode != 0 or not marker:
+        sys.stderr.write(out.stdout + out.stderr)
+        return 1
+    r = json.loads(marker[-1][4:])
     rows.append(r)
     print(json.dumps(r))
 

@@ -85,14 +85,31 @@ SEG = int(os.environ.get("PBF_SEG", "128"))   # candidate segment width: a
                                               # = fewer DMA issues but coarser
                                               # window quantization
 SPB = CC // SEG                               # segments per candidate block
-# per-own-chunk segment capacity (~31744 lanes), rounded to an even block
-# count (historical: the pre-epilogue loop padded odd counts to even; the
+MAXLANES = int(os.environ.get("PBF_MAXLANES", "31744"))
+                                              # per-own-chunk candidate-lane
+                                              # capacity. The default covers
+                                              # every reference-scale scene
+                                              # with ~10x headroom; extreme
+                                              # occupancy configs (1M+
+                                              # particles mid-collapse) raise
+                                              # it to keep plan_overflow == 0
+                                              # at the cost of a wider SMEM
+                                              # seg table + plan-build sort
+# per-own-chunk segment capacity, rounded to an even block count
+# (historical: the pre-epilogue loop padded odd counts to even; the
 # rounding is harmless now and keeps the table inside SEGW-1 slots)
-MAX_SEG = (31744 // SEG) // (2 * SPB) * (2 * SPB)
-KW = 4096 // SEG                              # per-window segment cap (4096
-                                              # lanes); 9*KW must cover MAX_SEG
-SEGW = 256                                    # SMEM seg-table width; last lane
-                                              # holds T (candidate block count)
+MAX_SEG = (MAXLANES // SEG) // (2 * SPB) * (2 * SPB)
+KW = max(4096 // SEG, -(-(MAXLANES // 9) // SEG))
+                                              # per-window segment cap; 9*KW
+                                              # must cover MAX_SEG so the
+                                              # capacity stays reachable when
+                                              # the dedup folds the stencil
+                                              # into few giant windows
+SEGW = max(256, -(-(MAX_SEG + 1) // 128) * 128)
+                                              # SMEM seg-table width (128-lane
+                                              # aligned); last lane holds T
+                                              # (candidate block count)
+assert 9 * KW >= MAX_SEG
 CHAINS = int(os.environ.get("PBF_CHAINS", "3"))
                                               # candidate blocks consumed per
                                               # pair-loop iteration = number
@@ -104,6 +121,12 @@ CHAINS = int(os.environ.get("PBF_CHAINS", "3"))
                                               # fit three (hardware A/B: 3 ->
                                               # 1.021-1.022x vs 2 -> 1.013x,
                                               # 4 -> 1.003x)
+# Per-pass chain-count overrides: the two passes keep different numbers of
+# (OWN, CC) f32 accumulators live (density 2, project 3), so their vector-
+# register spill points differ and the optimal interleave depth need not
+# match. Defaults fall back to PBF_CHAINS.
+CHAINS_D = int(os.environ.get("PBF_CHAINS_D", str(CHAINS)))
+CHAINS_P = int(os.environ.get("PBF_CHAINS_P", str(CHAINS)))
 NCOPIES = int(os.environ.get("PBF_NCOPIES", "4"))
                                               # shifted twin copies of the
                                               # candidate stream: copy c holds
@@ -383,7 +406,8 @@ def _tree_add(a, b):
     return jax.tree_util.tree_map(jnp.add, a, b)
 
 
-def _pair_loop(segs_ref, hbm_ref, buf, sem, term_fn, init, g: int = 0):
+def _pair_loop(segs_ref, hbm_ref, buf, sem, term_fn, init, g: int = 0,
+               chains: int = CHAINS):
     """Shared pipelined candidate streaming loop for own-chunk g.
 
     term_fn(cand) -> pytree of (OWN, CC) partial terms for one candidate
@@ -410,7 +434,7 @@ def _pair_loop(segs_ref, hbm_ref, buf, sem, term_fn, init, g: int = 0):
     once-counted candidate or a pair the rd2 clamp kills.
     """
     total = segs_ref[0, g, SEGW - 1]
-    iters = total // CHAINS
+    iters = total // chains
 
     def issue(slot, t):
         for j in range(SPB):
@@ -429,23 +453,23 @@ def _pair_loop(segs_ref, hbm_ref, buf, sem, term_fn, init, g: int = 0):
                 sem.at[slot, j],
             ).wait()
 
-    # (NBUF-CHAINS)-block lookahead prologue: the copies are ~2 KiB, so
+    # (NBUF-chains)-block lookahead prologue: the copies are ~2 KiB, so
     # completion is dominated by DMA latency, not bandwidth.
-    for t in range(NBUF - CHAINS):
+    for t in range(NBUF - chains):
         @pl.when(t < total)
         def _(t=t):
             issue(t, t)
 
     def body(i, acc):
-        ta = i * CHAINS
-        for c in range(CHAINS):
-            @pl.when(ta + NBUF - CHAINS + c < total)
+        ta = i * chains
+        for c in range(chains):
+            @pl.when(ta + NBUF - chains + c < total)
             def _(c=c):
-                issue(jax.lax.rem(ta + NBUF - CHAINS + c, NBUF),
-                      ta + NBUF - CHAINS + c)
+                issue(jax.lax.rem(ta + NBUF - chains + c, NBUF),
+                      ta + NBUF - chains + c)
 
         slots = []
-        for c in range(CHAINS):
+        for c in range(chains):
             slot = jax.lax.rem(ta + c, NBUF)
             wait(slot)
             slots.append(slot)
@@ -458,11 +482,11 @@ def _pair_loop(segs_ref, hbm_ref, buf, sem, term_fn, init, g: int = 0):
 
     acc = jax.lax.fori_loop(0, iters, body, init)
 
-    # leftover epilogue: blocks iters*CHAINS .. total-1 (0..CHAINS-1 many)
-    rem = total - iters * CHAINS
-    for k in range(CHAINS - 1):
+    # leftover epilogue: blocks iters*chains .. total-1 (0..chains-1 many)
+    rem = total - iters * chains
+    for k in range(chains - 1):
         def tail(acc, k=k):
-            idx = iters * CHAINS + k
+            idx = iters * chains + k
             slot = jax.lax.rem(idx, NBUF)
             wait(slot)
             return _tree_add(acc, term_fn(buf[slot]))
@@ -472,7 +496,8 @@ def _pair_loop(segs_ref, hbm_ref, buf, sem, term_fn, init, g: int = 0):
 
 
 def _density_kernel(cfg: SimConfig, segs_ref, own_ref, hbm_ref, lam_ref,
-                    buf, sem, mxu_rd2: bool = MXU_RD2):
+                    buf, sem, mxu_rd2: bool = MXU_RD2,
+                    chains: int = CHAINS_D):
     h = jnp.float32(cfg.h)
     h2 = jnp.float32(cfg.h2)
     eps = jnp.float32(EPS)
@@ -515,14 +540,15 @@ def _density_kernel(cfg: SimConfig, segs_ref, own_ref, hbm_ref, lam_ref,
 
         zero = jnp.zeros((OWN, CC), jnp.float32)
         rho_b, g2_b = _pair_loop(segs_ref, hbm_ref, buf, sem, one,
-                                 (zero, zero), g=g)
+                                 (zero, zero), g=g, chains=chains)
         rho = jnp.float32(cfg.poly6_coeff) * _ksum(rho_b)
         g2 = l2 * _ksum(g2_b)
         lam_ref[sl, :] = smoothing.lambda_from_sums(cfg, rho, g2)
 
 
 def _project_kernel(cfg: SimConfig, segs_ref, own_ref, hbm_ref, out_ref,
-                    buf, sem, mxu_proj: bool = MXU_PROJ):
+                    buf, sem, mxu_proj: bool = MXU_PROJ,
+                    chains: int = CHAINS_P):
     h = jnp.float32(cfg.h)
     h2 = jnp.float32(cfg.h2)
     eps = jnp.float32(EPS)
@@ -559,7 +585,8 @@ def _project_kernel(cfg: SimConfig, segs_ref, own_ref, hbm_ref, out_ref,
 
         zero = jnp.zeros((OWN, CC), jnp.float32)
         dpx_b, dpy_b, dpz_b = _pair_loop(segs_ref, hbm_ref, buf, sem,
-                                         one, (zero, zero, zero), g=g)
+                                         one, (zero, zero, zero), g=g,
+                                         chains=chains)
         out_ref[sl, 0:1] = ox + k_proj * _ksum(dpx_b)
         out_ref[sl, 1:2] = oy + k_proj * _ksum(dpy_b)
         out_ref[sl, 2:3] = oz + k_proj * _ksum(dpz_b)
@@ -646,12 +673,14 @@ def _segs_batched(plan: SegPlan):
 
 def density_pass(cfg: SimConfig, pT: jax.Array, cand: jax.Array,
                  plan: SegPlan, interpret: bool = False,
-                 mxu_rd2: bool = MXU_RD2) -> jax.Array:
+                 mxu_rd2: bool = MXU_RD2,
+                 chains: int = CHAINS_D) -> jax.Array:
     """(pT (n_pad, 4), cand (4, width) rows x,y,z,lambda) -> lambda (n_pad, 1)."""
     n_pad = pT.shape[0]
     seg_spec, own_spec, hbm_spec, scratch = _common_specs()
     return pl.pallas_call(
-        functools.partial(_density_kernel, cfg, mxu_rd2=mxu_rd2),
+        functools.partial(_density_kernel, cfg, mxu_rd2=mxu_rd2,
+                          chains=chains),
         grid=(n_pad // (OWN * GB),),
         in_specs=[seg_spec, own_spec, hbm_spec],
         out_specs=pl.BlockSpec((GB * OWN, 1), lambda i: (i, 0),
@@ -664,13 +693,15 @@ def density_pass(cfg: SimConfig, pT: jax.Array, cand: jax.Array,
 
 def project_pass(cfg: SimConfig, pT: jax.Array, cand: jax.Array,
                  plan: SegPlan, interpret: bool = False,
-                 mxu_proj: bool = MXU_PROJ) -> jax.Array:
+                 mxu_proj: bool = MXU_PROJ,
+                 chains: int = CHAINS_P) -> jax.Array:
     """(pT with lambda column, cand (4, width) rows x,y,z,lambda) ->
     new pT (n_pad, 4)."""
     n_pad = pT.shape[0]
     seg_spec, own_spec, hbm_spec, scratch = _common_specs()
     return pl.pallas_call(
-        functools.partial(_project_kernel, cfg, mxu_proj=mxu_proj),
+        functools.partial(_project_kernel, cfg, mxu_proj=mxu_proj,
+                          chains=chains),
         grid=(n_pad // (OWN * GB),),
         in_specs=[seg_spec, own_spec, hbm_spec],
         out_specs=pl.BlockSpec((GB * OWN, 4), lambda i: (i, 0),

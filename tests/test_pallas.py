@@ -238,3 +238,49 @@ def test_plan_overflow_truncation_accounting():
     assert ((lane >= 0) & (lane <= n_pad)).all()
     nblocks = np.asarray(plan.seg_src)[:, 0, pallas_pbf.SEGW - 1]
     assert nblocks.max() * pallas_pbf.SPB <= pallas_pbf.MAX_SEG
+
+
+def test_maxlanes_knob_raises_capacity():
+    """PBF_MAXLANES=65536 (the 1M-row setting, benchmarks/bench_matrix.py)
+    must widen the plan capacity consistently AND keep solver parity: a
+    clustered scene that truncates at the default capacity becomes
+    overflow-free at the raised one, and the pallas step still matches the
+    cell backend. Runs in a subprocess because the knob is module-level
+    state frozen at import."""
+    import subprocess
+    import sys
+
+    code = """
+import numpy as np
+from pdb_sph_tpu import default_config, spawn
+from pdb_sph_tpu.core.step import make_step
+from pdb_sph_tpu.ops import hashgrid, pallas_pbf
+
+assert pallas_pbf.MAXLANES == 65536
+assert pallas_pbf.MAX_SEG * pallas_pbf.SEG >= 65280
+assert 9 * pallas_pbf.KW >= pallas_pbf.MAX_SEG
+assert pallas_pbf.SEGW > pallas_pbf.MAX_SEG
+
+cfg = default_config(n=512, max_occupied_cells=1024, cell_capacity=512)
+st = spawn(cfg, "blowup", seed=0)
+cid = hashgrid.cell_ids(cfg, st.x)
+sc, _ = hashgrid.sort_by_cell(cfg, cid)
+plan = pallas_pbf.build_plan(cfg, sc)
+assert int(plan.n_overflow) == 0
+
+sc_step = make_step(cfg, backend="cell")(st)
+sp_step = make_step(cfg, backend="pallas", pallas_interpret=True)(st)
+inv_c = np.argsort(np.asarray(sc_step.ids))
+inv_p = np.argsort(np.asarray(sp_step.ids))
+np.testing.assert_allclose(np.asarray(sp_step.x)[inv_p],
+                           np.asarray(sc_step.x)[inv_c],
+                           rtol=1e-5, atol=1e-6)
+print("OK")
+"""
+    import os
+
+    env = dict(os.environ, PBF_MAXLANES="65536", JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "OK" in out.stdout
