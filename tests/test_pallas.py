@@ -45,6 +45,9 @@ def test_pallas_three_steps_match_dense():
     np.testing.assert_allclose(x_p, np.asarray(a.x), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow  # ~110 s of interpret-mode compile; the mixed-chunk plan
+# logic it guards stays covered quick by
+# test_window_plan_mixed_chunk_covers_all_pairs (plan-level, no solver run)
 def test_pallas_nonmultiple_of_128():
     # n = 300: padding slots must stay inert
     cfg = default_config(n=300)
@@ -240,6 +243,7 @@ def test_plan_overflow_truncation_accounting():
     assert nblocks.max() * pallas_pbf.SPB <= pallas_pbf.MAX_SEG
 
 
+@pytest.mark.slow  # subprocess re-import + interpret-mode parity, ~130 s
 def test_maxlanes_knob_raises_capacity():
     """PBF_MAXLANES=65536 (the 1M-row setting, benchmarks/bench_matrix.py)
     must widen the plan capacity consistently AND keep solver parity: a

@@ -67,6 +67,8 @@ def test_sharded_pallas_matches_single_device(mesh):
     np.testing.assert_allclose(np.asarray(got.v), want_v, rtol=1e-3, atol=2e-3)
 
 
+@pytest.mark.slow  # ~100 s of shard_map compile when run without the
+# lru_cache hit from test_sharded_pallas_matches_single_device (also slow)
 def test_sharded_dense_fluid_across_slab_boundary(mesh):
     """Ghost exactness where it actually matters: a rest-density block
     straddling a slab boundary. Sparse scenes make lambda ~ 0 and hide
