@@ -29,12 +29,13 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "BENCH_MATRIX.json")
 
 # The 1M row raises the per-chunk candidate capacity (PBF_MAXLANES): local
-# compression during the dam collapse transiently exceeds the default
-# 31744-lane budget (round-2 matrix recorded plan_overflow=4352 over 60
-# steps). The knob is module-level state read at import, so the row runs in
-# a subprocess; the headline rows keep the default (narrower seg table =
-# cheaper plan build).
-ROW_1M_ENV = {"PBF_MAXLANES": "65536"}
+# compression during the dam collapse exceeds the default 31744-lane budget
+# (plan_overflow snapshots on hardware: 4352 lanes at the default, 1792 at
+# 65536, 0 at 131072 — and the raised capacity costs nothing measurable,
+# 3.27 vs 3.30 steps/s). The knob is module-level state read at import, so
+# the row runs in a subprocess; the headline rows keep the default
+# (narrower seg table = cheaper plan build).
+ROW_1M_ENV = {"PBF_MAXLANES": "131072"}
 
 
 def run_row(scene, n, settle_chunks=1, chunk=240, reps=3, diag=False,

@@ -245,7 +245,7 @@ def test_plan_overflow_truncation_accounting():
 
 @pytest.mark.slow  # subprocess re-import + interpret-mode parity, ~130 s
 def test_maxlanes_knob_raises_capacity():
-    """PBF_MAXLANES=65536 (the 1M-row setting, benchmarks/bench_matrix.py)
+    """PBF_MAXLANES=131072 (the 1M-row setting, benchmarks/bench_matrix.py)
     must widen the plan capacity consistently AND keep solver parity: a
     clustered scene that truncates at the default capacity becomes
     overflow-free at the raised one, and the pallas step still matches the
@@ -260,8 +260,8 @@ from pdb_sph_tpu import default_config, spawn
 from pdb_sph_tpu.core.step import make_step
 from pdb_sph_tpu.ops import hashgrid, pallas_pbf
 
-assert pallas_pbf.MAXLANES == 65536
-assert pallas_pbf.MAX_SEG * pallas_pbf.SEG >= 65280
+assert pallas_pbf.MAXLANES == 131072
+assert pallas_pbf.MAX_SEG * pallas_pbf.SEG >= 130560
 assert 9 * pallas_pbf.KW >= pallas_pbf.MAX_SEG
 assert pallas_pbf.SEGW > pallas_pbf.MAX_SEG
 
@@ -283,7 +283,7 @@ print("OK")
 """
     import os
 
-    env = dict(os.environ, PBF_MAXLANES="65536", JAX_PLATFORMS="cpu")
+    env = dict(os.environ, PBF_MAXLANES="131072", JAX_PLATFORMS="cpu")
     out = subprocess.run([sys.executable, "-c", code], env=env,
                          capture_output=True, text=True, timeout=600)
     assert out.returncode == 0, out.stdout + out.stderr
