@@ -28,14 +28,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "BENCH_MATRIX.json")
 
-# The 1M row raises the per-chunk candidate capacity (PBF_MAXLANES): local
-# compression during the dam collapse exceeds the default 31744-lane budget
+# The 1M row runs with a modestly raised candidate capacity (PBF_MAXLANES).
+# History: under the old sort-based plan builder the PER-WINDOW cap KW
+# truncated dense windows long before the total budget was spent
 # (plan_overflow snapshots on hardware: 4352 lanes at the default, 1792 at
-# 65536, 0 at 131072 — and the raised capacity costs nothing measurable,
-# 3.27 vs 3.30 steps/s). The knob is module-level state read at import, so
-# the row runs in a subprocess; the headline rows keep the default
-# (narrower seg table = cheaper plan build).
-ROW_1M_ENV = {"PBF_MAXLANES": "131072"}
+# 65536, 0 only at 131072). The range-select builder has no per-window cap,
+# and the measured 1M collapse peaks at 219 of the default 246 segments per
+# chunk (zero overflow, steps 0-300) — default capacity suffices, but 11%
+# headroom is thin for a chaotic trajectory, so the row keeps 49152 (384
+# segs, ~75% headroom). The knob is module-level state read at import, so
+# the row runs in a subprocess; the headline rows keep the default.
+ROW_1M_ENV = {"PBF_MAXLANES": "49152"}
 
 
 def run_row(scene, n, settle_chunks=1, chunk=240, reps=3, diag=False,

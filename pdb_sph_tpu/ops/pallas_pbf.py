@@ -99,17 +99,27 @@ MAXLANES = int(os.environ.get("PBF_MAXLANES", "31744"))
 # (historical: the pre-epilogue loop padded odd counts to even; the
 # rounding is harmless now and keeps the table inside SEGW-1 slots)
 MAX_SEG = (MAXLANES // SEG) // (2 * SPB) * (2 * SPB)
-KW = max(4096 // SEG, -(-(MAXLANES // 9) // SEG))
-                                              # per-window segment cap; 9*KW
-                                              # must cover MAX_SEG so the
-                                              # capacity stays reachable when
-                                              # the dedup folds the stencil
-                                              # into few giant windows
+                                              # the ONLY plan capacity: total
+                                              # segments per own-chunk. There
+                                              # is deliberately no per-window
+                                              # cap — an earlier sort-based
+                                              # slot table needed one (KW) to
+                                              # bound its sort width, which
+                                              # (a) truncated single dense
+                                              # windows long before the total
+                                              # budget was spent (the 1M row
+                                              # overflowed at KW while its
+                                              # worst chunk used <14% of
+                                              # MAX_SEG) and (b) made the
+                                              # table build cost scale with
+                                              # 9*KW (18.4 ms/step at 1M with
+                                              # the capacity raised); the
+                                              # range-select build in
+                                              # build_plan has neither problem
 SEGW = max(256, -(-(MAX_SEG + 1) // 128) * 128)
                                               # SMEM seg-table width (128-lane
                                               # aligned); last lane holds T
                                               # (candidate block count)
-assert 9 * KW >= MAX_SEG
 CHAINS = int(os.environ.get("PBF_CHAINS", "3"))
                                               # candidate blocks consumed per
                                               # pair-loop iteration = number
@@ -304,16 +314,21 @@ def build_plan(cfg: SimConfig, sorted_cid: jax.Array) -> SegPlan:
     # and their windows would otherwise span the entire inactive block
     # (large in the sharded path), wasting lanes and faking overflow.
     is_pad = (c_first >= jnp.int32(ncells))[:, None]
-    k_raw = jnp.where(is_pad, 0, (qe - qs) // SEG)               # segs/window
-    k = jnp.minimum(k_raw, KW)
+    k = jnp.where(is_pad, 0, (qe - qs) // SEG)                   # segs/window
     cum = jnp.cumsum(k, axis=1)                                  # (num_chunks, 9)
     total = jnp.minimum(cum[:, -1], MAX_SEG)
-    n_overflow = (
-        (jnp.sum(k_raw) - jnp.sum(total)) * SEG
-    ).astype(jnp.int32)
+    # Only the TOTAL per-chunk budget can truncate (counted per chunk before
+    # summing so the int32 sum stays small even in pathological configs).
+    n_overflow = (jnp.sum(cum[:, -1] - total) * SEG).astype(jnp.int32)
 
-    # Flat slot table by one small per-row sort (slots ascend in (window,
-    # seg) order; invalid entries get a huge key and the sentinel-zone src).
+    # Flat slot table by nine range-selects: window w owns the contiguous
+    # slot run [cum0[w], cum[w]), so slot s maps to src0[w] + (s-cum0[w])*SEG
+    # — slots ascend in (window, seg) order by construction, and every slot
+    # outside [0, total) keeps the sentinel-zone src (n_pad is 128-aligned:
+    # pad_to_chunks rounds to OWN*GB). An earlier build flattened a
+    # (nc, 9, KW) expansion through lax.sort instead; its cost scaled with
+    # the per-window cap KW (~18 ms/step at 1M with PBF_MAXLANES=131072) —
+    # the selects touch (nc, MAX_SEG) once per window and cost ~nothing.
     # A window starting at particle lane qs lives in the copy whose forward
     # shift CANCELS qs's SEG-residue: cshift = (SEG - qs % SEG) % SEG
     # (= c * QSHIFT), so the array offset c*stride + cshift + qs is
@@ -321,17 +336,14 @@ def build_plan(cfg: SimConfig, sorted_cid: jax.Array) -> SegPlan:
     stride = jnp.int32(n_pad + CC)
     cshift = (SEG - qs % SEG) % SEG
     src0 = (cshift // QSHIFT) * stride + cshift + qs             # (nc, 9)
-    j = jnp.arange(KW, dtype=jnp.int32)
-    cum0 = jnp.concatenate([jnp.zeros((num_chunks, 1), jnp.int32), cum],
-                           axis=1)
-    slot = cum0[:, :9, None] + j[None, None, :]                  # (nc, 9, KW)
-    valid = (j[None, None, :] < k[:, :, None]) & (slot < MAX_SEG)
-    key = jnp.where(valid, slot, jnp.int32(2 ** 30)).reshape(num_chunks,
-                                                             9 * KW)
-    val = jnp.where(valid, src0[:, :, None] + j[None, None, :] * SEG,
-                    jnp.int32(n_pad)).reshape(num_chunks, 9 * KW)
-    _, src = jax.lax.sort((key, val), num_keys=1)
-    src = src[:, :MAX_SEG]                                       # 128-aligned
+    cum0 = jnp.concatenate(
+        [jnp.zeros((num_chunks, 1), jnp.int32), cum[:, :8]], axis=1)
+    s_idx = jnp.arange(MAX_SEG, dtype=jnp.int32)[None, :]        # (1, MAX_SEG)
+    src = jnp.full((num_chunks, MAX_SEG), jnp.int32(n_pad))
+    for w in range(9):
+        lo = cum0[:, w:w + 1]
+        sel = (lo <= s_idx) & (s_idx < cum[:, w:w + 1])
+        src = jnp.where(sel, src0[:, w:w + 1] + (s_idx - lo) * SEG, src)
 
     nblocks = -(-total // SPB)
     pad_lanes = jnp.zeros((num_chunks, SEGW - MAX_SEG - 1), jnp.int32)

@@ -262,7 +262,6 @@ from pdb_sph_tpu.ops import hashgrid, pallas_pbf
 
 assert pallas_pbf.MAXLANES == 131072
 assert pallas_pbf.MAX_SEG * pallas_pbf.SEG >= 130560
-assert 9 * pallas_pbf.KW >= pallas_pbf.MAX_SEG
 assert pallas_pbf.SEGW > pallas_pbf.MAX_SEG
 
 cfg = default_config(n=512, max_occupied_cells=1024, cell_capacity=512)
