@@ -58,8 +58,9 @@ def main() -> int:
     cfg = pbf.default_config(n=n)
     state = pbf.spawn(cfg, "dam_break", seed=0)
 
-    from pdb_sph_tpu.utils.platform import auto_backend
+    from pdb_sph_tpu.utils.platform import auto_backend, enable_compilation_cache
 
+    enable_compilation_cache()
     backend = auto_backend()
     # 240 steps per device call: the tunneled TPU backend has ~30-60 ms of
     # fixed per-call latency; at 60 steps/call that tax alone is 0.5-1.0

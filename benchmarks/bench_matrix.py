@@ -50,8 +50,10 @@ def run_row(scene, n, settle_chunks=1, chunk=240, reps=3, diag=False,
     import jax
     import pdb_sph_tpu as pbf
     from pdb_sph_tpu.core.step import diagnostics_fn, make_rollout
-    from pdb_sph_tpu.utils.platform import auto_backend
+    from pdb_sph_tpu.utils.platform import auto_backend, enable_compilation_cache
     from pdb_sph_tpu.utils.timing import host_sync
+
+    enable_compilation_cache()
 
     cfg = pbf.default_config(n=n, **cfg_overrides)
     state = pbf.spawn(cfg, scene, seed=0)

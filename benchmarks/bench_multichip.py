@@ -56,7 +56,9 @@ def main(argv=None) -> int:
 
     import pdb_sph_tpu as pbf
     from pdb_sph_tpu.parallel import sharded
+    from pdb_sph_tpu.utils.platform import enable_compilation_cache
 
+    enable_compilation_cache()
     n_dev = len(jax.devices())
     wall = args.wall or round(2.0 * (args.n / 80_000.0) ** (1.0 / 3.0), 2)
     cfg = pbf.default_config(

@@ -21,6 +21,7 @@ from .config import SCENES, SimConfig, blowup_config, default_config
 from .core.step import diagnostics_fn, make_rollout
 from .io import checkpoint, frames
 from .models.scenes import spawn
+from .utils import platform
 from .utils.logging import MetricsLogger
 from .utils.timing import host_sync
 
@@ -104,6 +105,7 @@ def config_from_args(args) -> SimConfig:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    platform.enable_compilation_cache()
 
     if args.resume:
         cfg, state = checkpoint.load(args.resume)

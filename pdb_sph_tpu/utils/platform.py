@@ -20,6 +20,28 @@ def auto_backend() -> str:
     return "pallas" if jax.default_backend() in _ACCELERATED else "cell"
 
 
+def enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache, repo-local (.jax_cache/).
+
+    The 80k/1M pallas programs take minutes to compile cold on the tunneled
+    TPU; the benches enable this so repeat runs (and the driver's bench.py
+    invocation after a round that already compiled the same program) skip
+    straight to execution. Set PBF_NO_COMP_CACHE=1 to disable (e.g. when
+    timing compilation itself)."""
+    import os
+
+    if os.environ.get("PBF_NO_COMP_CACHE"):
+        return
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knobs: cold compiles still work
+
+
 def force_cpu_devices(n: int) -> None:
     """Make jax see an n-device CPU platform, even if a backend was already
     initialized. Must run before any array lands on a device."""
