@@ -63,6 +63,15 @@ class SimConfig:
     # set False for the textbook 3-D norm 315/(64 pi h^9).
     use_reference_poly6_norm: bool = True
 
+    # Strict reference-collision semantics (src/FluidSimulator.cu:362-439):
+    # wall tests fire on *any* nonzero velocity component (so a particle
+    # outside but moving back inward gets mirrored back OUT — a documented
+    # latent bug) and no box clamp is applied afterwards. Default False =
+    # the fixed semantics (bounce requires outward velocity + final clamp),
+    # identical for every genuine crossing; set True for bit-level fidelity
+    # studies against the reference behavior (ops/collide.py docstring).
+    strict_reference_collide: bool = False
+
     # --- TPU neighbor structure (no reference equivalent; replaces
     #     computeSpatialHash + thrust::sort_by_key + findCellsInArray) ---
     nb_cell_size: float = 0.0    # 0.0 -> default to h

@@ -24,6 +24,10 @@ around -1.4 with ever-damped velocity. Here a bounce requires *outward*
 velocity, which is identical for every genuine crossing (the rewind and
 damping never flip another axis's sign), and a final clamp guarantees the
 box invariant even for pathological multi-wall states.
+
+Both divergences are gated: `SimConfig.strict_reference_collide=True`
+restores the reference's exact `v != 0` test and drops the clamp, for
+bit-level fidelity studies against the reference semantics.
 """
 
 from __future__ import annotations
@@ -41,7 +45,11 @@ def _bounce(cfg: SimConfig, pos, vel, axis: int, upper: bool):
     w = jnp.float32(cfg.wall if upper else 0.0)
     cd = jnp.float32(cfg.collision_damp)
     pa, va = pos[:, axis], vel[:, axis]
-    hit = (pa > w) & (va > 0.0) if upper else (pa < w) & (va < 0.0)
+    if cfg.strict_reference_collide:
+        # reference test: past the wall and moving at all (:362,:375,...)
+        hit = (pa > w if upper else pa < w) & (va != 0.0)
+    else:
+        hit = (pa > w) & (va > 0.0) if upper else (pa < w) & (va < 0.0)
 
     t_coll = (pa - w) / jnp.where(va == 0.0, 1.0, va)
     pos_rw = pos - vel * ((1.0 - cd) * t_coll)[:, None]
@@ -62,6 +70,7 @@ def finalize(cfg: SimConfig, p: jax.Array, last_frame: jax.Array):
     v = (p - last_frame) / jnp.float32(cfg.dt)
     for axis, upper in _WALL_ORDER:
         p, v = _bounce(cfg, p, v, axis, upper)
-    # box-invariant safety net (see module docstring)
-    p = jnp.clip(p, 0.0, jnp.float32(cfg.wall))
+    if not cfg.strict_reference_collide:
+        # box-invariant safety net (see module docstring)
+        p = jnp.clip(p, 0.0, jnp.float32(cfg.wall))
     return p, v

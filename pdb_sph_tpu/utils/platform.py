@@ -21,25 +21,39 @@ def auto_backend() -> str:
 
 
 def enable_compilation_cache() -> None:
-    """Persistent XLA compilation cache, repo-local (.jax_cache/).
+    """Persistent XLA compilation cache.
 
     The 80k/1M pallas programs take minutes to compile cold on the tunneled
     TPU; the benches enable this so repeat runs (and the driver's bench.py
     invocation after a round that already compiled the same program) skip
-    straight to execution. Set PBF_NO_COMP_CACHE=1 to disable (e.g. when
-    timing compilation itself)."""
-    import os
+    straight to execution.
 
-    if os.environ.get("PBF_NO_COMP_CACHE"):
+    Cache location: $PBF_COMP_CACHE_DIR if set; else the repo-local
+    `.jax_cache/` when the package lives in a writable checkout; else
+    `~/.cache/pdb_sph_tpu/jax` (installed into site-packages, where writing
+    next to the install tree would fail or pollute it — advisor finding).
+    Set PBF_NO_COMP_CACHE=1 to disable (e.g. when timing compilation
+    itself); '0'/''/'false' count as unset."""
+    import os
+    import warnings
+
+    if os.environ.get("PBF_NO_COMP_CACHE", "0").lower() not in (
+            "", "0", "false"):
         return
-    cache = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), ".jax_cache")
+    cache = os.environ.get("PBF_COMP_CACHE_DIR")
+    if not cache:
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        cache = os.path.join(repo, ".jax_cache")
+        if not os.access(repo, os.W_OK):
+            cache = os.path.expanduser("~/.cache/pdb_sph_tpu/jax")
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass  # older jax without the knobs: cold compiles still work
+    except (AttributeError, ValueError) as e:
+        # older jax without the knobs: cold compiles still work, but say so
+        # once instead of silently swallowing a broken cache setup
+        warnings.warn(f"jax compilation cache unavailable: {e}", stacklevel=2)
 
 
 def force_cpu_devices(n: int) -> None:

@@ -91,3 +91,58 @@ def test_escaped_inward_mover_not_re_ejected():
     x, v = finalize(CFG, p_new, p_last)
     assert np.asarray(x)[0, 1] == 0.0                   # clamped, not mirrored
     assert np.asarray(v)[0, 1] > 0.0                    # still moving inward
+
+
+def _strict_reference_finalize(cfg, p, last):
+    """Transcription of updatePositions with the reference's EXACT guards:
+    `v != 0` per wall (src/FluidSimulator.cu:362,375,...) and no clamp."""
+    p = p.astype(np.float64).copy()
+    v = (p - last) / cfg.dt
+    cd = cfg.collision_damp
+    for axis, w in ((1, 0.0), (1, cfg.wall), (0, 0.0), (2, 0.0),
+                    (0, cfg.wall), (2, cfg.wall)):
+        past = p[axis] > w if w > 0 else p[axis] < w
+        if past and v[axis] != 0.0:
+            t = (p[axis] - w) / v[axis]
+            p = p - v * (1 - cd) * t
+            p[axis] = 2 * w - p[axis]
+            v[axis] *= -1.0
+            v = v * cd
+    return p, v
+
+
+def test_strict_mode_matches_reference_guards():
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, strict_reference_collide=True)
+    cases = [
+        ([1.0, -0.05, 1.0], [1.0, 0.02, 1.0]),      # genuine floor crossing
+        ([1.0, -0.4, 1.0], [1.0, -0.5, 1.0]),       # inward mover: re-ejected
+        ([-0.03, -0.05, 1.0], [0.02, 0.04, 1.0]),   # two-wall corner
+        ([1.0, 1.0, 1.0], [1.0, 1.001, 1.0]),       # no collision
+    ]
+    for p_new, p_last in cases:
+        p_new = np.asarray(p_new, np.float32)[None]
+        p_last = np.asarray(p_last, np.float32)[None]
+        x, v = finalize(cfg, p_new, p_last)
+        ref_x, ref_v = _strict_reference_finalize(cfg, p_new[0], p_last[0])
+        np.testing.assert_allclose(np.asarray(x)[0], ref_x, rtol=1e-4,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(v)[0], ref_v, rtol=1e-4,
+                                   atol=1e-4)
+
+
+def test_strict_mode_bounces_inward_mover():
+    # the documented reference bug, reproduced on demand: outside + moving
+    # inward still triggers the wall response (negative time-of-impact
+    # rewind + mirror), flipping the velocity back OUTWARD — the oscillation
+    # signature. The fixed semantics leave the inward velocity alone.
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, strict_reference_collide=True)
+    p_new = np.array([[1.0, -0.4, 1.0]], np.float32)
+    p_last = np.array([[1.0, -0.5, 1.0]], np.float32)
+    _, v_strict = finalize(cfg, p_new, p_last)
+    _, v_fixed = finalize(CFG, p_new, p_last)
+    assert np.asarray(v_strict)[0, 1] < 0.0             # flipped outward
+    assert np.asarray(v_fixed)[0, 1] > 0.0              # left inward
