@@ -78,13 +78,14 @@ def main(argv=None) -> int:
         backend = args.backend
 
     mesh = sharded.make_mesh(n_dev)
-    # slack 4: the dam column initially fills only z < 1 (0.125 of the slab
-    # range), so early shards hold ~3x the even share until the flood spreads
-    pcfg = sharded.ParallelConfig.create(cfg, n_dev, slack=4.0)
+    # load-balanced boundaries (state-aware quantile split + per-step
+    # occupancy tracking) keep shards near n/D; slack only covers transients
+    pcfg = sharded.ParallelConfig.create(cfg, n_dev, state=state)
     chunk = max(1, min(args.chunk, args.steps))
     roll = sharded.make_sharded_rollout(cfg, pcfg, mesh, backend=backend,
                                         unroll_steps=chunk)
-    x, v, ids = sharded.distribute(cfg, pcfg, state, mesh)
+    diag_fn = sharded.make_sharded_diagnostics(cfg, pcfg, mesh)
+    sst = sharded.distribute(cfg, pcfg, state, mesh)
 
     def log(msg):
         print(msg, file=sys.stderr, flush=True)
@@ -93,7 +94,7 @@ def main(argv=None) -> int:
         f"wall={wall} chunk={chunk}: compiling + warmup...")
     t0 = time.perf_counter()
     for i in range(max(1, args.warmup // chunk)):
-        x, v, ids, stats = roll(x, v, ids)
+        sst, stats, step_diag = roll(sst)
         np.asarray(stats)  # fence
         log(f"[bench_multichip] warmup chunk {i} done "
             f"({time.perf_counter() - t0:.1f}s elapsed)")
@@ -101,23 +102,32 @@ def main(argv=None) -> int:
     steps = (args.steps // chunk) * chunk
     t0 = time.perf_counter()
     for i in range(steps // chunk):
-        x, v, ids, stats = roll(x, v, ids)
+        sst, stats, step_diag = roll(sst)
         np.asarray(stats[0, 0])
         log(f"[bench_multichip] measured chunk {i} done "
             f"({time.perf_counter() - t0:.1f}s elapsed)")
     stats = np.asarray(stats)  # device->host fence
-    wall = time.perf_counter() - t0
+    step_diag = np.asarray(step_diag)
+    wall_s = time.perf_counter() - t0
 
     assert stats[:, 0].sum() == cfg.n, "particle count not conserved"
-    sps = steps / wall
+    assert step_diag[:, 2].sum() == 0, "NaN detected on the mesh path"
+    diag = np.asarray(diag_fn(sst))  # density/physics health per shard
+    sps = steps / wall_s
+    act = stats[:, 0]
     print(json.dumps({
         "metric": f"particle_steps_per_sec_{args.n}_dam_break_{n_dev}dev",
         "value": round(sps * cfg.n, 1),
         "unit": "particle-steps/s",
         "steps_per_sec": round(sps, 2),
         "devices": n_dev,
-        "per_shard_active": stats[:, 0].tolist(),
+        "per_shard_active": act.tolist(),
+        "balance_min_over_mean": round(float(act.min() / act.mean()), 3),
         "overflows": stats[:, 1:].sum(axis=0).tolist(),
+        "max_speed": round(float(step_diag[:, 0].max()), 3),
+        "n_escaped": int(step_diag[:, 1].sum()),
+        "max_density_err": round(float(diag[:, 1].max()), 4),
+        "slab_bounds": np.asarray(sst.bounds)[0, 1:].tolist(),
     }))
     return 0
 

@@ -5,8 +5,9 @@ costs ~70 min of XLA CPU compile plus ~36 min per step, which bounds how many
 steps (and capacity variants) can ever be checked that way. This script gets
 the same sizing answer from the real chip instead: it runs the 1M dam break
 single-chip (2-3 steps/s on a v5e), and after every chunk computes — on the
-host, with the exact slab/ghost geometry of `parallel/sharded.py`
-(`_slab_of_zcell` / `_slab_bounds` / the two-boundary-row ghost selection) —
+host, with the balanced-quantile slab geometry of `parallel/sharded.py`
+(`initial_bounds` / the two-boundary-row ghost selection; the in-run
+boundary tracker follows the per-snapshot quantile ideal within ~a row) —
 what every per-shard capacity WOULD need to be on a D-device mesh at that
 instant:
 
@@ -46,20 +47,36 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def slab_table_stats(x: np.ndarray, nb_cell: float, w: int, z_hi: int,
-                     n_dev: int):
-    """Per-slab (particles, ghosts_in, table_rows) for one snapshot."""
+def balanced_bounds(cz: np.ndarray, w: int, n_dev: int) -> np.ndarray:
+    """Quantile slab boundaries for one snapshot — the same construction as
+    parallel/sharded.py initial_bounds (>= 2 cells per slab). The in-run
+    boundary tracker follows this ideal within ~a row, so per-snapshot
+    re-quantiling is the right capacity model for a balanced mesh run."""
+    hist = np.bincount(cz, minlength=w)
+    cum = np.cumsum(hist)
+    n = int(cum[-1])
+    b = np.zeros(n_dev + 1, np.int64)
+    b[n_dev] = w
+    for d in range(1, n_dev):
+        cand = int(np.searchsorted(cum, n * d // n_dev, side="left")) + 1
+        b[d] = min(max(cand, b[d - 1] + 2), w - 2 * (n_dev - d))
+    return b
+
+
+def slab_table_stats(x: np.ndarray, nb_cell: float, w: int, n_dev: int):
+    """Per-slab (particles, ghosts_in, table_rows) for one snapshot under
+    the balanced (quantile) decomposition."""
     ijk = np.clip((x / nb_cell).astype(np.int64), 0, w - 1)
     cid = ijk[:, 0] + w * ijk[:, 1] + (w * w) * ijk[:, 2]
     cz = ijk[:, 2]
-    slab = np.minimum(cz * n_dev // z_hi, n_dev - 1)
+    b = balanced_bounds(cz, w, n_dev)
+    slab = np.searchsorted(b[1:-1], cz, side="right")
 
     rows = np.zeros(n_dev, np.int64)
     parts = np.zeros(n_dev, np.int64)
     ghosts = np.zeros(n_dev, np.int64)
     for d in range(n_dev):
-        lo = (d * z_hi + n_dev - 1) // n_dev
-        hi = ((d + 1) * z_hi + n_dev - 1) // n_dev
+        lo, hi = b[d], b[d + 1]
         local = slab == d
         # two boundary cell-rows from each adjacent shard (sharded.py
         # ghost_l/ghost_r selections, receiver's view)
@@ -88,7 +105,6 @@ def main(argv=None) -> int:
     cfg = pbf.default_config(n=args.n, wall=wall,
                              grid_width=max(40, int(np.ceil(wall * 1.25 / 0.2))))
     w = cfg.nb_grid_width
-    z_hi = min(w, int(np.ceil((cfg.wall * 1.25) / cfg.nb_cell)))
 
     state = pbf.spawn(cfg, "dam_break", seed=0)
     rollout = make_rollout(cfg, backend=auto_backend(),
@@ -103,7 +119,7 @@ def main(argv=None) -> int:
         x = np.asarray(state.x)
         assert np.isfinite(x).all(), f"non-finite state at step {state.step}"
         parts, ghosts, rows = slab_table_stats(
-            x, cfg.nb_cell, w, z_hi, args.devices)
+            x, cfg.nb_cell, w, args.devices)
         max_parts = np.maximum(max_parts, parts)
         max_ghosts = np.maximum(max_ghosts, ghosts)
         max_rows = np.maximum(max_rows, rows)
@@ -116,7 +132,7 @@ def main(argv=None) -> int:
         "artifact": "per-shard capacity sizing for the 1M x 8-device config, "
                     "measured from a single-chip hardware run",
         "config": {"n": args.n, "devices": args.devices, "wall": wall,
-                   "nb_grid_width": w, "z_cells_hi": z_hi,
+                   "nb_grid_width": w, "decomposition": "balanced-quantile",
                    "steps": args.steps, "sample_every": args.chunk,
                    "PBF_MAXLANES": os.environ["PBF_MAXLANES"]},
         "max_particles_per_slab": max_parts.tolist(),

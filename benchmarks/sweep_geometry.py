@@ -56,10 +56,12 @@ print(json.dumps({{"ms_per_step": ms}}))
 """
 
 
-def run_config(own, cc, nbuf, gb, n, lo, hi, ncopies=4):
+def run_config(own, cc, nbuf, gb, n, lo, hi, ncopies=4, extra_env=None):
     env = dict(os.environ)
     env.update(PBF_OWN=str(own), PBF_CC=str(cc), PBF_NBUF=str(nbuf),
                PBF_GB=str(gb), PBF_NCOPIES=str(ncopies))
+    if extra_env:
+        env.update({k: str(v) for k, v in extra_env.items()})
     script = CHILD.format(repo=REPO, n=n, lo=lo, hi=hi)
     try:
         out = subprocess.run(
@@ -84,6 +86,11 @@ def main():
                     help="fewer configs, shorter marginal window")
     ap.add_argument("--own", type=int, nargs="*", default=None)
     ap.add_argument("--cc", type=int, nargs="*", default=None)
+    ap.add_argument("--cc-d", type=int, nargs="*", default=None,
+                    help="density-pass block widths (round-3 per-pass knob; "
+                         "crossed with --cc-p)")
+    ap.add_argument("--cc-p", type=int, nargs="*", default=None,
+                    help="project-pass block widths")
     ap.add_argument("--nbuf", type=int, nargs="*", default=None)
     ap.add_argument("--gb", type=int, nargs="*", default=None)
     ap.add_argument("--ncopies", type=int, nargs="*", default=None)
@@ -91,24 +98,37 @@ def main():
 
     owns = args.own or [64, 128]
     ccs = args.cc or ([512, 1024] if args.quick else [512, 768, 1024])
+    ccds = args.cc_d or [None]
+    ccps = args.cc_p or [None]
     nbufs = args.nbuf or [6]
     gbs = args.gb or [4, 8]
     ncs = args.ncopies or [4]
     lo, hi = (5, 20) if args.quick else (10, 40)
 
     results = []
-    for own, cc, nbuf, gb, nc in itertools.product(owns, ccs, nbufs, gbs,
-                                                   ncs):
-        if nbuf * cc * 16 > 2 * 1024 * 1024:   # keep the ring under 2 MiB
+    for own, cc, ccd, ccp, nbuf, gb, nc in itertools.product(
+            owns, ccs, ccds, ccps, nbufs, gbs, ncs):
+        wid = max(cc, ccd or 0, ccp or 0)
+        if nbuf * wid * 16 > 2 * 1024 * 1024:  # keep the ring under 2 MiB
             continue
-        ms, err = run_config(own, cc, nbuf, gb, args.n, lo, hi, ncopies=nc)
-        tag = f"OWN={own:4d} CC={cc:5d} NBUF={nbuf} GB={gb} NC={nc}"
+        extra = {}
+        if ccd is not None:
+            extra["PBF_CC_D"] = ccd
+        if ccp is not None:
+            extra["PBF_CC_P"] = ccp
+        ms, err = run_config(own, cc, nbuf, gb, args.n, lo, hi, ncopies=nc,
+                             extra_env=extra)
+        tag = (f"OWN={own:4d} CC={cc:5d}"
+               + (f" CC_D={ccd}" if ccd is not None else "")
+               + (f" CC_P={ccp}" if ccp is not None else "")
+               + f" NBUF={nbuf} GB={gb} NC={nc}")
         if ms is None:
             print(f"{tag}  FAILED: {err}")
         else:
             print(f"{tag}  {ms:7.3f} ms/step "
                   f"({args.n / ms / 1e3:.2f}M particle-steps/s)")
             results.append((ms, tag))
+        sys.stdout.flush()
     if results:
         results.sort()
         print(f"\nbest: {results[0][1]}  {results[0][0]:.3f} ms/step")

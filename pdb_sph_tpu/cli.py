@@ -48,6 +48,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--backend", choices=("auto", "pallas", "cell", "dense"),
                    default="auto")
+    p.add_argument("--devices", type=int, default=0,
+                   help="run on an N-device mesh (load-balanced z-slab "
+                        "decomposition, parallel/sharded.py); 0 = "
+                        "single-device path")
+    p.add_argument("--fake-devices", type=int, default=0,
+                   help="force an N-virtual-device CPU platform before "
+                        "anything touches jax (mesh validation without a "
+                        "pod; implies --devices N unless given)")
     p.add_argument("--chunk", type=int, default=20,
                    help="steps per device call (lax.scan length)")
     p.add_argument("--metrics", type=str, default=None,
@@ -103,9 +111,151 @@ def config_from_args(args) -> SimConfig:
     return make(**overrides)
 
 
+def _make_writer(args):
+    render_kwargs = {}
+    if args.eye is not None:
+        render_kwargs["eye"] = tuple(args.eye)
+    if args.target is not None:
+        render_kwargs["target"] = tuple(args.target)
+    if args.fov is not None:
+        render_kwargs["fov"] = args.fov
+    return frames.FrameWriter(args.out, args.width, args.height,
+                              gif_path=args.gif, orbit_deg=args.orbit,
+                              **render_kwargs)
+
+
+def _pick_chunk(args) -> int:
+    chunk = max(1, min(args.chunk, args.steps))
+    for gate in (args.metrics_every, args.render_every, args.checkpoint_every):
+        if gate and gate % chunk:
+            return 1  # honor exact cadences
+    return chunk
+
+
+def _main_mesh(args) -> int:
+    """The mesh-path runner: the same app surface (metrics, frames, GIF,
+    checkpoint/resume, NaN abort) driving the load-balanced z-slab
+    decomposition of parallel/sharded.py. The reference's app drives its
+    whole sim (src/main.cpp:75-143); so does this one at any device count."""
+    import jax.numpy as jnp
+
+    from .parallel import sharded
+
+    if args.backend == "dense":
+        print("error: --backend dense has no mesh decomposition; "
+              "use cell or pallas", file=sys.stderr)
+        return 2
+    backend = args.backend
+    if backend == "auto":
+        backend = platform.auto_backend()
+
+    if args.resume:
+        cfg, state = checkpoint.load(args.resume)
+    else:
+        cfg = config_from_args(args)
+        state = spawn(cfg, args.scene, args.seed)
+    start_step = int(state.step)
+
+    D = args.devices
+    mesh = sharded.make_mesh(D)
+    pcfg = sharded.ParallelConfig.create(cfg, D, state=state)
+    chunk = _pick_chunk(args)
+    rollout = sharded.make_sharded_rollout(cfg, pcfg, mesh, backend=backend,
+                                           unroll_steps=chunk)
+    density_diag = sharded.make_sharded_diagnostics(cfg, pcfg, mesh)
+    sst = sharded.distribute(cfg, pcfg, state, mesh)
+
+    if args.gif and not args.render_every:
+        print("error: --gif requires --render-every (no frames are rendered)",
+              file=sys.stderr)
+        return 2
+    writer = _make_writer(args) if args.render_every else None
+    if writer:
+        writer.submit(start_step, state.x)
+
+    log = MetricsLogger(args.metrics)
+    log.log(event="start", scene=args.scene, n=cfg.n, steps=args.steps,
+            backend=backend, dt=cfg.dt, iters=cfg.solver_iters,
+            devices=D, device=str(jax.devices()[0]))
+
+    def collected():
+        st = sharded.collect(sst)
+        return st._replace(step=jnp.asarray(start_step + done, jnp.int32))
+
+    done = 0
+    t_start = time.perf_counter()
+    try:
+        while done < args.steps:
+            this_chunk = min(chunk, args.steps - done)
+            if this_chunk != chunk:  # final partial chunk: exact step count
+                rollout = sharded.make_sharded_rollout(
+                    cfg, pcfg, mesh, backend=backend,
+                    unroll_steps=this_chunk)
+            t0 = time.perf_counter()
+            sst, stats, sdiag = rollout(sst)
+            stats = np.asarray(stats)  # device->host fence
+            sdiag = np.asarray(sdiag)
+            dt_wall = time.perf_counter() - t0
+            done += this_chunk
+            step_no = start_step + done
+
+            act = stats[:, 0]
+            record = {
+                "event": "progress", "step": step_no,
+                "steps_per_sec": this_chunk / dt_wall,
+                "particle_steps_per_sec": this_chunk * cfg.n / dt_wall,
+                "per_shard_active": act.tolist(),
+                "balance_min_over_mean": float(act.min() / max(act.mean(), 1)),
+                "overflows": stats[:, 1:].sum(axis=0).tolist(),
+                "max_speed": float(sdiag[:, 0].max()),
+                "n_escaped": int(sdiag[:, 1].sum()),
+                "nan_detected": bool(sdiag[:, 2].sum() > 0),
+            }
+            if args.metrics_every and done % args.metrics_every == 0:
+                d = np.asarray(density_diag(sst))
+                w = np.maximum(act, 1).astype(np.float64)
+                record.update(
+                    mean_density=float((d[:, 0] * w).sum() / w.sum()),
+                    max_density_err=float(d[:, 1].max()),
+                )
+            if record["nan_detected"]:
+                log.log(**record)
+                print("FATAL: non-finite state detected; aborting",
+                      file=sys.stderr)
+                return 2
+            log.log(**record)
+
+            if writer and done % args.render_every == 0:
+                writer.submit(step_no, collected().x)
+            if (args.checkpoint and args.checkpoint_every
+                    and done % args.checkpoint_every == 0):
+                checkpoint.save(args.checkpoint, cfg, collected())
+    finally:
+        if writer:
+            writer.close()
+
+    wall = time.perf_counter() - t_start
+    if args.checkpoint:
+        checkpoint.save(args.checkpoint, cfg, collected())
+    log.log(event="done", steps=done, wall_seconds=wall,
+            steps_per_sec=done / wall,
+            particle_steps_per_sec=done * cfg.n / wall,
+            devices=D,
+            frames=writer.frames_written if writer else 0)
+    log.close()
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.fake_devices:
+        platform.force_cpu_devices(args.fake_devices)
+        if not args.devices:
+            args.devices = args.fake_devices
     platform.enable_compilation_cache()
+
+    if args.devices > 1:
+        return _main_mesh(args)
 
     if args.resume:
         cfg, state = checkpoint.load(args.resume)
@@ -113,11 +263,7 @@ def main(argv=None) -> int:
         cfg = config_from_args(args)
         state = spawn(cfg, args.scene, args.seed)
 
-    chunk = max(1, min(args.chunk, args.steps))
-    for gate in (args.metrics_every, args.render_every, args.checkpoint_every):
-        if gate and gate % chunk:
-            chunk = 1  # honor exact cadences
-            break
+    chunk = _pick_chunk(args)
 
     rollout = make_rollout(cfg, backend=args.backend, unroll_steps=chunk)
     diag = jax.jit(lambda s: diagnostics_fn(cfg, s))
@@ -127,18 +273,8 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 2
 
-    writer = None
-    if args.render_every:
-        render_kwargs = {}
-        if args.eye is not None:
-            render_kwargs["eye"] = tuple(args.eye)
-        if args.target is not None:
-            render_kwargs["target"] = tuple(args.target)
-        if args.fov is not None:
-            render_kwargs["fov"] = args.fov
-        writer = frames.FrameWriter(args.out, args.width, args.height,
-                                    gif_path=args.gif, orbit_deg=args.orbit,
-                                    **render_kwargs)
+    writer = _make_writer(args) if args.render_every else None
+    if writer:
         writer.submit(int(state.step), state.x)
 
     log = MetricsLogger(args.metrics)

@@ -84,7 +84,16 @@ SEG = int(os.environ.get("PBF_SEG", "128"))   # candidate segment width: a
                                               # DMA alignment unit; larger SEG
                                               # = fewer DMA issues but coarser
                                               # window quantization
-SPB = CC // SEG                               # segments per candidate block
+# Per-pass candidate-block lane widths (round-3 lever, VERDICT r2 item 3):
+# the two passes keep different numbers of (OWN, CC) f32 accumulators live
+# (density 2, project 3), so their vector-register spill points — and hence
+# the optimal block width — need not match. The plan is SEG-granular and
+# stores the SEGMENT count, so both passes share one table and each derives
+# its own block count from its own SPB. Defaults fall back to PBF_CC.
+CC_D = int(os.environ.get("PBF_CC_D", str(CC)))
+CC_P = int(os.environ.get("PBF_CC_P", str(CC)))
+SPB_D = CC_D // SEG                           # segments per density block
+SPB_P = CC_P // SEG                           # segments per project block
 MAXLANES = int(os.environ.get("PBF_MAXLANES", "31744"))
                                               # per-own-chunk candidate-lane
                                               # capacity. The default covers
@@ -95,10 +104,14 @@ MAXLANES = int(os.environ.get("PBF_MAXLANES", "31744"))
                                               # it to keep plan_overflow == 0
                                               # at the cost of a wider SMEM
                                               # seg table + plan-build sort
-# per-own-chunk segment capacity, rounded to an even block count
-# (historical: the pre-epilogue loop padded odd counts to even; the
-# rounding is harmless now and keeps the table inside SEGW-1 slots)
-MAX_SEG = (MAXLANES // SEG) // (2 * SPB) * (2 * SPB)
+# per-own-chunk segment capacity, rounded to an even block count of BOTH
+# passes (so neither pass's final block indexes past the table; the pad
+# lanes hold the sentinel src as a second line of defense). Historical
+# note: the pre-epilogue loop padded odd counts to even; the rounding is
+# harmless now and keeps the table inside SEGW-1 slots.
+import math as _math
+_SPB_ROUND = 2 * _math.lcm(SPB_D, SPB_P)
+MAX_SEG = (MAXLANES // SEG) // _SPB_ROUND * _SPB_ROUND
                                               # the ONLY plan capacity: total
                                               # segments per own-chunk. There
                                               # is deliberately no per-window
@@ -137,6 +150,11 @@ CHAINS = int(os.environ.get("PBF_CHAINS", "3"))
 # match. Defaults fall back to PBF_CHAINS.
 CHAINS_D = int(os.environ.get("PBF_CHAINS_D", str(CHAINS)))
 CHAINS_P = int(os.environ.get("PBF_CHAINS_P", str(CHAINS)))
+# Lane padding of each candidate copy beyond n_pad: the quantized windows
+# can read up to ~2*SEG past the last real lane, and a dead segment reads
+# [n_pad, n_pad + SEG); the widest pass's block width keeps every historical
+# layout identical when CC_D == CC_P == CC.
+CC_PAD = max(CC_D, CC_P, 2 * SEG)
 NCOPIES = int(os.environ.get("PBF_NCOPIES", "4"))
                                               # shifted twin copies of the
                                               # candidate stream: copy c holds
@@ -204,8 +222,10 @@ class SegPlan(NamedTuple):
 
     seg_src: (num_chunks, 1, SEGW) i32 — 128-aligned p4 lane offsets of each
         candidate segment; dead slots point at the sentinel pad zone
-        [n_pad, n_pad + CC). Lane SEGW-1 holds T, the number of (OWN, CC)
-        candidate blocks (= ceil(active_segs / SPB)).
+        [n_pad, n_pad + SEG). Lane SEGW-1 holds the chunk's SEGMENT count;
+        each pass derives its own (OWN, CC_pass) block count from its own
+        segments-per-block (the plan is SEG-granular, so the density and
+        project passes can run different block widths off one table).
     n_overflow: () i32 — candidate lanes dropped because a chunk exceeded
         MAX_SEG segments (diagnostics surface this: truncation silently
         softens the physics).
@@ -333,7 +353,7 @@ def build_plan(cfg: SimConfig, sorted_cid: jax.Array) -> SegPlan:
     # shift CANCELS qs's SEG-residue: cshift = (SEG - qs % SEG) % SEG
     # (= c * QSHIFT), so the array offset c*stride + cshift + qs is
     # 128-aligned by construction; all its segments stay inside that copy.
-    stride = jnp.int32(n_pad + CC)
+    stride = jnp.int32(n_pad + CC_PAD)
     cshift = (SEG - qs % SEG) % SEG
     src0 = (cshift // QSHIFT) * stride + cshift + qs             # (nc, 9)
     cum0 = jnp.concatenate(
@@ -345,10 +365,12 @@ def build_plan(cfg: SimConfig, sorted_cid: jax.Array) -> SegPlan:
         sel = (lo <= s_idx) & (s_idx < cum[:, w:w + 1])
         src = jnp.where(sel, src0[:, w:w + 1] + (s_idx - lo) * SEG, src)
 
-    nblocks = -(-total // SPB)
-    pad_lanes = jnp.zeros((num_chunks, SEGW - MAX_SEG - 1), jnp.int32)
+    # pad lanes carry the sentinel src too: a partial final block of a pass
+    # whose SPB doesn't divide the slot count reads past MAX_SEG, and a zero
+    # there would stream REAL particles from lane 0 into the wrong stencil
+    pad_lanes = jnp.full((num_chunks, SEGW - MAX_SEG - 1), jnp.int32(n_pad))
     seg_src = jnp.concatenate(
-        [src, pad_lanes, nblocks[:, None]], axis=1
+        [src, pad_lanes, total[:, None]], axis=1
     )[:, None, :]
 
     return SegPlan(seg_src=seg_src, n_overflow=n_overflow)
@@ -356,8 +378,8 @@ def build_plan(cfg: SimConfig, sorted_cid: jax.Array) -> SegPlan:
 
 def cand_width(n_pad: int) -> int:
     """Total lane width of the candidate array: NCOPIES shifted copies of
-    stride (n_pad + CC) lanes each."""
-    return NCOPIES * (n_pad + CC)
+    stride (n_pad + CC_PAD) lanes each."""
+    return NCOPIES * (n_pad + CC_PAD)
 
 
 def _p4_from_pT(pT: jax.Array) -> jax.Array:
@@ -368,7 +390,7 @@ def _p4_from_pT(pT: jax.Array) -> jax.Array:
     traffic) buys zero in-kernel relayouts: a transpose inside the kernel
     costs ~2.5 us flat on the VPU."""
     n_pad = pT.shape[0]
-    stride = n_pad + CC
+    stride = n_pad + CC_PAD
     p4 = jnp.full((4, NCOPIES * stride), SENTINEL, jnp.float32)
     pt = pT.T
     for c in range(NCOPIES):
@@ -419,12 +441,13 @@ def _tree_add(a, b):
 
 
 def _pair_loop(segs_ref, hbm_ref, buf, sem, term_fn, init, g: int = 0,
-               chains: int = CHAINS):
+               chains: int = CHAINS, spb: int = SPB_D):
     """Shared pipelined candidate streaming loop for own-chunk g.
 
-    term_fn(cand) -> pytree of (OWN, CC) partial terms for one candidate
-    block; the loop accumulates their tree-sum over every block of the
-    chunk's plan.
+    term_fn(cand) -> pytree of (OWN, CC_pass) partial terms for one
+    candidate block; the loop accumulates their tree-sum over every block
+    of the chunk's plan. `spb` (segments per block = CC_pass // SEG) turns
+    the table's segment count into this pass's block count.
 
     Each fori iteration consumes CHAINS (4, CC) candidate blocks: Mosaic
     does not software-pipeline across fori_loop iterations, so a single
@@ -445,12 +468,12 @@ def _pair_loop(segs_ref, hbm_ref, buf, sem, term_fn, init, g: int = 0,
     exists at this level — the plan guarantees every lane is either a
     once-counted candidate or a pair the rd2 clamp kills.
     """
-    total = segs_ref[0, g, SEGW - 1]
+    total = (segs_ref[0, g, SEGW - 1] + spb - 1) // spb   # blocks this pass
     iters = total // chains
 
     def issue(slot, t):
-        for j in range(SPB):
-            src = pl.multiple_of(segs_ref[0, g, t * SPB + j], SEG)
+        for j in range(spb):
+            src = pl.multiple_of(segs_ref[0, g, t * spb + j], SEG)
             pltpu.make_async_copy(
                 hbm_ref.at[:, pl.ds(src, SEG)],
                 buf.at[slot, :, pl.ds(j * SEG, SEG)],
@@ -458,7 +481,7 @@ def _pair_loop(segs_ref, hbm_ref, buf, sem, term_fn, init, g: int = 0,
             ).start()
 
     def wait(slot):
-        for j in range(SPB):
+        for j in range(spb):
             pltpu.make_async_copy(
                 hbm_ref.at[:, pl.ds(0, SEG)],
                 buf.at[slot, :, pl.ds(j * SEG, SEG)],
@@ -550,9 +573,10 @@ def _density_kernel(cfg: SimConfig, segs_ref, own_ref, hbm_ref, lam_ref,
             u2 = u * u
             return t2 * t, (u2 * u2) * rd2
 
-        zero = jnp.zeros((OWN, CC), jnp.float32)
+        zero = jnp.zeros((OWN, CC_D), jnp.float32)
         rho_b, g2_b = _pair_loop(segs_ref, hbm_ref, buf, sem, one,
-                                 (zero, zero), g=g, chains=chains)
+                                 (zero, zero), g=g, chains=chains,
+                                 spb=SPB_D)
         rho = jnp.float32(cfg.poly6_coeff) * _ksum(rho_b)
         g2 = l2 * _ksum(g2_b)
         lam_ref[sl, :] = smoothing.lambda_from_sums(cfg, rho, g2)
@@ -595,10 +619,10 @@ def _project_kernel(cfg: SimConfig, segs_ref, own_ref, hbm_ref, out_ref,
             s = (u * u) * (olam + cand[3:4, :])       # (OWN, CC)
             return s * dx, s * dy, s * dz
 
-        zero = jnp.zeros((OWN, CC), jnp.float32)
+        zero = jnp.zeros((OWN, CC_P), jnp.float32)
         dpx_b, dpy_b, dpz_b = _pair_loop(segs_ref, hbm_ref, buf, sem,
                                          one, (zero, zero, zero), g=g,
-                                         chains=chains)
+                                         chains=chains, spb=SPB_P)
         out_ref[sl, 0:1] = ox + k_proj * _ksum(dpx_b)
         out_ref[sl, 1:2] = oy + k_proj * _ksum(dpy_b)
         out_ref[sl, 2:3] = oz + k_proj * _ksum(dpz_b)
@@ -653,8 +677,8 @@ def _project_kernel_mxu(cfg: SimConfig, segs_ref, own_ref, hbm_ref, out_ref,
 
         acc_s, acc_p = _pair_loop(
             segs_ref, hbm_ref, buf, sem, one,
-            (jnp.zeros((OWN, CC), jnp.float32),
-             jnp.zeros((OWN, 3), jnp.float32)), g=g)
+            (jnp.zeros((OWN, CC_P), jnp.float32),
+             jnp.zeros((OWN, 3), jnp.float32)), g=g, spb=SPB_P)
         S = _ksum(acc_s)                                 # (OWN, 1)
         out_ref[sl, 0:3] = own3 + k_proj * (own3 * S - acc_p)
         out_ref[sl, 3:4] = olam - s_corr
@@ -664,15 +688,15 @@ def _project_kernel_mxu(cfg: SimConfig, segs_ref, own_ref, hbm_ref, out_ref,
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
 
-def _common_specs():
+def _common_specs(cc: int, spb: int):
     seg_spec = pl.BlockSpec((1, GB, SEGW), lambda i: (i, 0, 0),
                             memory_space=pltpu.SMEM)
     own_spec = pl.BlockSpec((GB * OWN, 4), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     hbm_spec = pl.BlockSpec(memory_space=pl.ANY)
     scratch = [
-        pltpu.VMEM((NBUF, 4, CC), jnp.float32),
-        pltpu.SemaphoreType.DMA((NBUF, SPB)),
+        pltpu.VMEM((NBUF, 4, cc), jnp.float32),
+        pltpu.SemaphoreType.DMA((NBUF, spb)),
     ]
     return seg_spec, own_spec, hbm_spec, scratch
 
@@ -689,7 +713,7 @@ def density_pass(cfg: SimConfig, pT: jax.Array, cand: jax.Array,
                  chains: int = CHAINS_D) -> jax.Array:
     """(pT (n_pad, 4), cand (4, width) rows x,y,z,lambda) -> lambda (n_pad, 1)."""
     n_pad = pT.shape[0]
-    seg_spec, own_spec, hbm_spec, scratch = _common_specs()
+    seg_spec, own_spec, hbm_spec, scratch = _common_specs(CC_D, SPB_D)
     return pl.pallas_call(
         functools.partial(_density_kernel, cfg, mxu_rd2=mxu_rd2,
                           chains=chains),
@@ -710,7 +734,7 @@ def project_pass(cfg: SimConfig, pT: jax.Array, cand: jax.Array,
     """(pT with lambda column, cand (4, width) rows x,y,z,lambda) ->
     new pT (n_pad, 4)."""
     n_pad = pT.shape[0]
-    seg_spec, own_spec, hbm_spec, scratch = _common_specs()
+    seg_spec, own_spec, hbm_spec, scratch = _common_specs(CC_P, SPB_P)
     return pl.pallas_call(
         functools.partial(_project_kernel, cfg, mxu_proj=mxu_proj,
                           chains=chains),
@@ -736,7 +760,7 @@ def make_pT(cfg: SimConfig, p_sorted: jax.Array, n_pad: int) -> jax.Array:
 def splice_lambda(p4: jax.Array, lam: jax.Array, n_pad: int) -> jax.Array:
     """Write the freshly computed lambda column into row 3 of every shifted
     candidate copy (positions are already there from _p4_from_pT)."""
-    stride = n_pad + CC
+    stride = n_pad + CC_PAD
     lam_t = lam.T
     for c in range(NCOPIES):
         p4 = jax.lax.dynamic_update_slice(

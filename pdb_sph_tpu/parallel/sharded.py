@@ -1,20 +1,38 @@
-"""Multi-chip scale-out: z-slab domain decomposition over a device mesh.
+"""Multi-chip scale-out: load-balanced z-slab domain decomposition over a
+device mesh.
 
 The reference is strictly single-GPU (SURVEY.md section 2: no NCCL/MPI
 anywhere); its only global primitive is one thrust sort. This module is the
 TPU-native scaling story it never had: the hash grid is partitioned into
 z-slabs over a 1-D `jax.sharding.Mesh`, and the per-step pipeline becomes
 
-    predict -> adjacent-shard MIGRATION (ppermute left/right)
+    occupancy-aware BOUNDARY UPDATE (all_gather of per-shard loads)
+            -> predict -> adjacent-shard MIGRATION (ppermute left/right)
             -> local counting-sort cell grid (frozen for the step)
             -> per-iteration GHOST exchange of the two boundary cell-rows
                (ppermute), density + projection on local+ghost set
             -> finalize locally
 
 Design notes:
+  * LOAD BALANCE. Slab boundaries are *data*, not config: a replicated
+    (D+1,)-int32 vector of first-z-cell indices rides with the state
+    (`ShardedState.bounds`). `distribute` picks initial boundaries that
+    equalize per-shard particle counts (a quantile split of the z
+    histogram), and every step each shard all_gathers three scalars —
+    its load and its two boundary-row populations — and applies the same
+    deterministic rule: move a boundary by ONE cell toward the heavier
+    side iff that strictly improves the pair's balance (the moved row's
+    population must not exceed the load difference), the donor keeps >= 2
+    cells, and the recipient stays under capacity. One row per step per
+    boundary tracks any physical front (particles move << 1 cell/step),
+    and a one-row shift keeps migration strictly adjacent. Boundaries
+    alternate by parity (even boundaries on even steps) so a shard's two
+    boundaries never move in the same step — the >= 2-cell slab invariant
+    survives concurrent updates by construction.
   * Migration only needs adjacency: a particle moves dt*|v| << h per step
-    while a slab is >= several cells wide. A `migration_overflow` counter
-    reports any violation instead of corrupting physics.
+    while a slab is >= 2 cells wide, and boundary shifts are +-1 cell. A
+    `migration_overflow` counter reports any violation instead of
+    corrupting physics.
   * TWO ghost cell-rows per side are exchanged so lambda for the *inner*
     ghost row is computed exactly on the receiver (its full neighborhood is
     present); the outer row only supplies positions. No lambda exchange is
@@ -26,6 +44,10 @@ Design notes:
     slots are stable and the whole step stays one jitted SPMD program.
   * All buffers are fixed-capacity with validity columns; ppermute edge
     shards receive zero-filled buffers whose valid flag is 0.
+  * A 1-device mesh takes a dedicated fast path: no migration, no ghost
+    exchange, no boundary update — the degenerate decomposition should
+    cost (nearly) nothing over the unsharded step (docs/PERF.md has the
+    measured overhead decomposition).
 """
 
 from __future__ import annotations
@@ -33,6 +55,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +71,24 @@ from ..ops.integrate import predict
 SENTINEL = 1.0e9
 
 
+class ShardedState(NamedTuple):
+    """The mesh-resident simulation state.
+
+    x, v: (D*cap, 3) f32 sharded along the mesh; inactive slots hold
+        SENTINEL / 0.
+    ids: (D*cap,) i32 original particle identity; -1 marks inactive slots.
+    bounds: (D, D+2) i32, row d = [step_counter, b0, ..., bD] — every row
+        identical (the per-shard replicated copy of the slab boundaries;
+        slab d owns z-cells [b_d, b_{d+1})). The counter drives the
+        parity-alternating boundary updates.
+    """
+
+    x: jax.Array
+    v: jax.Array
+    ids: jax.Array
+    bounds: jax.Array
+
+
 @dataclasses.dataclass(frozen=True)
 class ParallelConfig:
     """Capacities for the sharded layout (all per shard)."""
@@ -56,22 +97,23 @@ class ParallelConfig:
     capacity: int          # local particle slots
     mig_capacity: int      # per-direction migration slots
     ghost_capacity: int    # per-direction ghost slots
-    z_cells_hi: int = 0    # slabs evenly partition z-cells [0, z_cells_hi);
-                           # 0 -> full grid width. Set to the occupied z range
-                           # for load balance (fluid lives in z < wall).
+    rebalance: bool = True  # occupancy-tracking boundary updates each step
+    z_cells_hi: int = 0    # legacy even-split range for rebalance=False:
+                           # slabs evenly partition z-cells [0, z_cells_hi);
+                           # 0 -> full grid width. Ignored when rebalancing
+                           # (quantile initial bounds cover the full grid).
 
     @staticmethod
     def create(cfg: SimConfig, n_devices: int, slack: float = 1.6,
-               state: SimState | None = None):
+               state: SimState | None = None, rebalance: bool = True):
         """Size the per-shard buffers.
 
-        `slack` covers load imbalance for roughly-uniform scenes; a
-        CONCENTRATED scene (blowup: the whole fluid inside 1-2 slabs) needs
-        either slack >= 4 or, better, `state=` — then capacity is floored at
-        1.5x the measured worst-slab occupancy of the initial condition, so
-        `distribute` cannot reject and the in-run merge counter has headroom
-        while the concentration only ever *spreads* (PBF density projection
-        pushes outward; nothing re-concentrates past the IC).
+        With rebalancing (default) the boundaries keep shards near n/D, so
+        `slack` only covers transients; pass `state=` to floor capacity at
+        1.5x the measured worst-slab occupancy of the initial *quantile*
+        split (a CONCENTRATED scene at row granularity — blowup in a
+        handful of z-rows — can exceed the even share even under balanced
+        boundaries).
         """
         if n_devices == 1:
             # degenerate mesh: no imbalance, no neighbors to exchange with —
@@ -79,62 +121,62 @@ class ParallelConfig:
             cap = int(np.ceil(cfg.n / 128) * 128)
             return ParallelConfig(
                 n_devices=1, capacity=cap, mig_capacity=128,
-                ghost_capacity=128, z_cells_hi=0,
+                ghost_capacity=128, rebalance=False, z_cells_hi=0,
             )
         cap = int(np.ceil(cfg.n * slack / n_devices / 128) * 128)
-        if state is not None:
-            z_hi0 = min(
-                cfg.nb_grid_width,
-                int(np.ceil((cfg.wall * 1.25) / cfg.nb_cell)),
-            )
-            cz = np.clip(
-                (np.asarray(state.x)[:, 2] / cfg.nb_cell).astype(np.int64),
-                0, cfg.nb_grid_width - 1,
-            )
-            dest = np.minimum(cz * n_devices // z_hi0, n_devices - 1)
-            occ_max = int(np.bincount(dest, minlength=n_devices).max())
-            cap = max(cap, int(np.ceil(occ_max * 1.5 / 128) * 128))
-        # fluid occupies z in [0, wall] (+ splash); slabs cover that range
         z_hi = min(
             cfg.nb_grid_width,
             int(np.ceil((cfg.wall * 1.25) / cfg.nb_cell)),
         )
+        if state is not None:
+            b = initial_bounds(cfg, n_devices, state=state,
+                               rebalance=rebalance, z_cells_hi=z_hi)
+            cz = np.clip(
+                (np.asarray(state.x)[:, 2] / cfg.nb_cell).astype(np.int64),
+                0, cfg.nb_grid_width - 1,
+            )
+            dest = np.searchsorted(b[1:-1], cz, side="right")
+            occ_max = int(np.bincount(dest, minlength=n_devices).max())
+            cap = max(cap, int(np.ceil(occ_max * 1.5 / 128) * 128))
         # ghost buffers hold two full boundary cell-rows per side: a slab a
         # few cells wide can have nearly its whole population in those rows,
         # so size them like the shard itself (the ppermute payload is only
-        # (ghost_cap, 4) floats — capacity is cheap, silent truncation isn't)
+        # (ghost_cap, 4) floats — capacity is cheap, silent truncation
+        # isn't). Migration buffers must fit a whole donated boundary row
+        # (a balance shift moves one row's population in one step), so
+        # cap/2 rather than round 2's cap/4.
         return ParallelConfig(
             n_devices=n_devices,
             capacity=cap,
-            mig_capacity=max(128, -(-(cap // 4) // 128) * 128),
+            mig_capacity=max(128, -(-(cap // 2) // 128) * 128),
             ghost_capacity=cap,
+            rebalance=rebalance,
             z_cells_hi=z_hi,
         )
 
 
 def _validate_geometry(cfg: SimConfig, pcfg: ParallelConfig) -> None:
     """Fail fast on decomposition geometry that would silently break the
-    exchange invariants (the round-1 review asked for these to be guarded,
-    not just documented):
+    exchange invariants:
 
       * every slab must span >= 2 z-cells — the two-boundary-row ghost
         exchange only reaches the ADJACENT shard, so a 1-cell slab would
         need ghosts from two shards away and the inner-row lambda would be
-        silently wrong;
+        silently wrong. The boundary-update rule preserves the invariant
+        dynamically (donor keeps >= 2); here we check it is *satisfiable*:
+        the grid must offer >= 2 cells per device;
       * capacities must be positive multiples of 128 (TPU lane alignment of
         every packed buffer).
     """
     D = pcfg.n_devices
     if D > 1:
-        z_hi = pcfg.z_cells_hi or cfg.nb_grid_width
-        # slab d covers [ceil(d*z_hi/D), ceil((d+1)*z_hi/D)); the narrowest
-        # slab has floor(z_hi/D) cells
-        min_slab = z_hi // D
-        if min_slab < 2:
+        z_range = (cfg.nb_grid_width if pcfg.rebalance
+                   else (pcfg.z_cells_hi or cfg.nb_grid_width))
+        if z_range < 2 * D:
             raise ValueError(
-                f"{D} slabs over {z_hi} z-cells leaves a slab only "
-                f"{min_slab} cell(s) wide; the two-row ghost exchange needs "
-                ">= 2 cells per slab (use fewer devices or a finer grid)"
+                f"{D} slabs over {z_range} z-cells leaves a slab under 2 "
+                "cells wide; the two-row ghost exchange needs >= 2 cells "
+                "per slab (use fewer devices or a finer grid)"
             )
     for name in ("capacity", "mig_capacity", "ghost_capacity"):
         val = getattr(pcfg, name)
@@ -154,34 +196,43 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs[:n]), ("z",))
 
 
-def _slab_of_zcell(pcfg: ParallelConfig, cfg: SimConfig, cz):
-    z_hi = pcfg.z_cells_hi or cfg.nb_grid_width
-    return jnp.minimum(cz * pcfg.n_devices // z_hi, pcfg.n_devices - 1)
+def initial_bounds(cfg: SimConfig, n_devices: int,
+                   state: SimState | None = None, rebalance: bool = True,
+                   z_cells_hi: int = 0) -> np.ndarray:
+    """(D+1,) int32 slab boundaries over z-cells.
 
-
-def _slab_bounds(pcfg: ParallelConfig, cfg: SimConfig, d):
-    """First z-cell of slab d and of slab d+1 (as traced values).
-
-    Slab ownership is cz * D // z_hi == d (see _slab_of_zcell), whose first
-    owned cell is ceil(d * z_hi / D) — floor here would overstate the slab
-    leftward and make the ghost selections send only ONE boundary row when
-    z_hi % D != 0, breaking the two-row exactness invariant.
+    With a state and rebalancing: a quantile split of the z-cell histogram
+    — boundary d lands where the cumulative count first reaches d*n/D,
+    coerced to keep every slab >= 2 cells (VERDICT round 2: the even split
+    left half the mesh empty on the flagship dam break). Without a state
+    (or with rebalance=False): the legacy even split of [0, z_hi).
     """
-    z_hi = pcfg.z_cells_hi or cfg.nb_grid_width
-    D = pcfg.n_devices
-    lo = (jnp.int32(d) * z_hi + D - 1) // D
-    hi = ((jnp.int32(d) + 1) * z_hi + D - 1) // D
-    return lo, hi
-
-
-def _pack_rows(mask, capacity: int):
-    """Indices of up to `capacity` True slots (True slots first, stable),
-    plus the validity of each packed slot."""
-    order = jnp.argsort(jnp.where(mask, 0, 1), stable=True)
-    idx = order[:capacity]
-    ok = mask[idx]
-    n_over = jnp.sum(mask).astype(jnp.int32) - jnp.sum(ok).astype(jnp.int32)
-    return idx, ok, n_over
+    D = n_devices
+    W = cfg.nb_grid_width
+    if D == 1:
+        return np.array([0, W], np.int32)
+    if state is None or not rebalance:
+        z_hi = z_cells_hi or W
+        b = np.array(
+            [-(-d * z_hi // D) for d in range(D)] + [W], np.int64)
+        # even split can collide with the min-width rule only when z_hi < 2D
+        # (rejected by _validate_geometry); the last slab extends to W so
+        # clipped far-field cells stay owned
+        return b.astype(np.int32)
+    cz = np.clip((np.asarray(state.x)[:, 2] / cfg.nb_cell).astype(np.int64),
+                 0, W - 1)
+    hist = np.bincount(cz, minlength=W)
+    cum = np.cumsum(hist)
+    n = int(cum[-1])
+    b = np.zeros(D + 1, np.int64)
+    b[D] = W
+    for d in range(1, D):
+        target = n * d // D
+        cand = int(np.searchsorted(cum, target, side="left")) + 1
+        lo = b[d - 1] + 2              # donor keeps >= 2 cells
+        hi = W - 2 * (D - d)           # leave >= 2 cells per remaining slab
+        b[d] = min(max(cand, lo), hi)
+    return b.astype(np.int32)
 
 
 def _zcell(cfg: SimConfig, p):
@@ -191,9 +242,126 @@ def _zcell(cfg: SimConfig, p):
     )
 
 
-def _pallas_solve_and_finalize(cfg, pcfg, p, last, active, ids, combined0,
-                               gok0, exchange_ghosts, mig_overflow,
-                               merge_overflow, ghost_overflow, interpret):
+def _pack_rows(mask, capacity: int):
+    """Indices of up to `capacity` True slots (True slots first, in input
+    order), plus the validity of each packed slot and the overflow count.
+
+    Cumsum + one scatter instead of round 2's argsort: the pack runs five
+    times per sharded step (two migration directions, the merge, two ghost
+    sides), and a full-width sort per pack was the largest avoidable cost
+    in the sharded-overhead decomposition (docs/PERF.md round 3)."""
+    n = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    total = jnp.sum(mask).astype(jnp.int32)
+    tgt = jnp.where(mask & (pos < capacity), pos, capacity)
+    idx = jnp.zeros((capacity,), jnp.int32).at[tgt].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    ok = jnp.arange(capacity, dtype=jnp.int32) < total
+    n_over = jnp.maximum(total - capacity, 0)
+    return idx, ok, n_over
+
+
+def _inverse_permutation(order):
+    """inv with inv[order[i]] = i — one scatter, not an argsort."""
+    n = order.shape[0]
+    return jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32), unique_indices=True)
+
+
+def _update_bounds(pcfg: ParallelConfig, brow, active, cz, cap_lim: int):
+    """One parity-alternating load-balance move per internal boundary.
+
+    brow: (D+2,) [step_counter, b0..bD] — identical on every shard.
+    Gathers (load, first-row pop, last-row pop) from every shard and applies
+    the same deterministic rule everywhere: shift boundary i one cell toward
+    the heavier neighbor iff the moved row's population keeps |L - R|
+    non-increasing (2*row <= |L - R|: the donor stays >= the recipient, so
+    no move can overshoot, and a reverse move can never fire next — no
+    oscillation), the donor slab keeps >= 2 cells, and the recipient stays
+    under cap_lim. Even boundaries move on even steps, odd on odd, so a
+    shard's two boundaries never move together (width invariant under
+    concurrent updates).
+    """
+    D = pcfg.n_devices
+    ctr, b = brow[0], brow[1:]
+    me = jax.lax.axis_index("z")
+    lo = b[me]
+    hi = b[me + 1]
+    cnt = jnp.sum(active).astype(jnp.int32)
+    fr = jnp.sum(active & (cz == lo)).astype(jnp.int32)
+    lr = jnp.sum(active & (cz == hi - 1)).astype(jnp.int32)
+    g = jax.lax.all_gather(jnp.stack([cnt, fr, lr]), "z")        # (D, 3)
+    c, frs, lrs = g[:, 0], g[:, 1], g[:, 2]
+
+    ii = jnp.arange(1, D, dtype=jnp.int32)                       # boundaries
+    L, R = c[ii - 1], c[ii]
+    diff = L - R
+    down_rc = lrs[ii - 1]          # population of row b[i]-1 (in shard i-1)
+    up_rc = frs[ii]                # population of row b[i]   (in shard i)
+    w_left = b[ii] - b[ii - 1]
+    w_right = b[ii + 1] - b[ii]
+    eligible = (ii % 2) == (ctr % 2)
+    can_down = ((diff > 0) & (2 * down_rc <= diff) & (w_left >= 3)
+                & (R + down_rc <= cap_lim))
+    can_up = ((diff < 0) & (2 * up_rc <= -diff) & (w_right >= 3)
+              & (L + up_rc <= cap_lim))
+    shift = jnp.where(eligible & can_down, -1,
+                      jnp.where(eligible & can_up, 1, 0)).astype(jnp.int32)
+    b = b.at[ii].add(shift)
+    return jnp.concatenate([(ctr + 1)[None], b])
+
+
+def _solve_cell(cfg, cap: int, p, last, active, exchange_ghosts, ghosts0,
+                gok0):
+    """Per-shard constraint solve on the XLA cell table. Returns
+    (p_solved, plan_overflow)."""
+    if ghosts0 is not None:
+        combined0 = jnp.concatenate([p, ghosts0])
+        combined_ok0 = jnp.concatenate([active, gok0])
+    else:
+        combined0 = p
+        combined_ok0 = active
+    # inactive slots (padding, invalid ghosts) get the explicit past-the-end
+    # cell id: they sort after every real particle and are excluded from the
+    # table and the overflow count.
+    cid = jnp.where(
+        combined_ok0, hashgrid.cell_ids(cfg, combined0), cfg.num_nb_cells
+    )
+    sorted_cid, order = hashgrid.sort_by_cell(cfg, cid)
+    inv_order = _inverse_permutation(order)
+    grid = hashgrid.build_grid(cfg, sorted_cid, order,
+                               ignore_cell=cfg.num_nb_cells)
+
+    def body(_, p_loc):
+        if exchange_ghosts is not None:
+            ghosts, _ = exchange_ghosts(p_loc)
+            combined = jnp.concatenate([p_loc, ghosts])
+        else:
+            combined = p_loc
+        p_sorted = jnp.take(combined, order, axis=0)
+        tx = hashgrid.scatter_table(cfg, grid, p_sorted[:, 0])
+        ty = hashgrid.scatter_table(cfg, grid, p_sorted[:, 1])
+        tz = hashgrid.scatter_table(cfg, grid, p_sorted[:, 2])
+        tlam = cell_list.density_lambda_tables(cfg, tx, ty, tz, grid)
+        ddx, ddy, ddz = cell_list.project_tables(cfg, tx, ty, tz, tlam, grid)
+        zeros = jnp.zeros_like(p_sorted[:, 0])
+        dp_sorted = jnp.stack(
+            [
+                hashgrid.gather_table(cfg, grid, ddx, zeros),
+                hashgrid.gather_table(cfg, grid, ddy, zeros),
+                hashgrid.gather_table(cfg, grid, ddz, zeros),
+            ],
+            axis=1,
+        )
+        dp = jnp.take(dp_sorted, inv_order, axis=0)[:cap]
+        return p_loc + jnp.where(active[:, None], dp, 0.0)
+
+    p = jax.lax.fori_loop(0, cfg.solver_iters, body, p)
+    return p, grid.n_overflow
+
+
+def _solve_pallas(cfg, cap: int, p, last, active, exchange_ghosts, ghosts0,
+                  gok0, interpret: bool):
     """Per-shard constraint solve on the Pallas streaming kernels.
 
     Same frozen-neighbor-structure semantics as the cell-table path: the
@@ -201,15 +369,19 @@ def _pallas_solve_and_finalize(cfg, pcfg, p, last, active, ids, combined0,
     each iteration refreshes ghost *positions* into the frozen slots.
     Inactive slots (local padding, invalid ghosts) are assigned cell id
     num_nb_cells, which sorts them after every real particle and makes
-    build_plan give their chunks zero candidates.
-    """
+    build_plan give their chunks zero candidates. Returns
+    (p_solved, plan_overflow)."""
     from ..ops import pallas_pbf
 
-    cap = pcfg.capacity
-    n_loc = cap + 2 * pcfg.ghost_capacity
+    if ghosts0 is not None:
+        combined0 = jnp.concatenate([p, ghosts0])
+        combined_ok = jnp.concatenate([active, gok0])
+    else:
+        combined0 = p
+        combined_ok = active
+    n_loc = combined0.shape[0]
     n_pad = pallas_pbf.pad_to_chunks(n_loc)
 
-    combined_ok = jnp.concatenate([active, gok0])
     cid = jnp.where(
         combined_ok, hashgrid.cell_ids(cfg, combined0), cfg.num_nb_cells
     )
@@ -219,7 +391,7 @@ def _pallas_solve_and_finalize(cfg, pcfg, p, last, active, ids, combined0,
     sorted_cid, order = jax.lax.sort(
         (cid_pad, jnp.arange(n_pad, dtype=jnp.int32)), num_keys=1
     )
-    inv_order = jnp.argsort(order)
+    inv_order = _inverse_permutation(order)
     plan = pallas_pbf.build_plan(cfg, sorted_cid)
 
     pad_tail = jnp.full((n_pad - n_loc, 3), pallas_pbf.SENTINEL, jnp.float32)
@@ -233,8 +405,11 @@ def _pallas_solve_and_finalize(cfg, pcfg, p, last, active, ids, combined0,
     )[:, None]
 
     def body(_, p_loc):
-        ghosts, _ = exchange_ghosts(p_loc)
-        combined = jnp.concatenate([p_loc, ghosts, pad_tail])
+        if exchange_ghosts is not None:
+            ghosts, _ = exchange_ghosts(p_loc)
+            combined = jnp.concatenate([p_loc, ghosts, pad_tail])
+        else:
+            combined = jnp.concatenate([p_loc, pad_tail])
         p_sorted = jnp.take(combined, order, axis=0)          # (n_pad, 3)
         p_sorted = jnp.where(ok_sorted, p_sorted, pallas_pbf.SENTINEL)
         pT = jnp.concatenate(
@@ -249,169 +424,215 @@ def _pallas_solve_and_finalize(cfg, pcfg, p, last, active, ids, combined0,
         return p_loc + jnp.where(active[:, None], dp, 0.0)
 
     p = jax.lax.fori_loop(0, cfg.solver_iters, body, p)
+    return p, plan.n_overflow
 
-    x_new, v_new = finalize(cfg, p, last)
-    x_new = jnp.where(active[:, None], x_new, SENTINEL)
-    v_new = jnp.where(active[:, None], v_new, 0.0)
+
+def _step_single_pallas(cfg: SimConfig, pcfg: ParallelConfig,
+                        pallas_interpret: bool, x, v, ids, bounds):
+    """1-device mesh, pallas backend: mirror core.step.step_fn exactly —
+    ride every payload through ONE 8-operand lax.sort and return in
+    cell-sorted slot order (ids track identity; slots are not stable across
+    steps, same convention as the reference's sorted VBO writes,
+    src/FluidSimulator.cu:441-443). No migration, no ghosts, no inverse
+    permutation: the degenerate decomposition costs only the active-mask
+    selects over the unsharded step."""
+    from ..ops import pallas_pbf
+
+    cap = pcfg.capacity
+    active = ids >= 0
+    p, _ = predict(cfg, x, v)
+    cid = jnp.where(active, hashgrid.cell_ids(cfg, p), cfg.num_nb_cells)
+    n_pad = pallas_pbf.pad_to_chunks(cap)
+
+    def pad(arr, fill):
+        shape = (n_pad - cap,) + arr.shape[1:]
+        return jnp.concatenate([arr, jnp.full(shape, fill, arr.dtype)])
+
+    S = pallas_pbf.SENTINEL
+    sorted_ops = jax.lax.sort(
+        (
+            pad(cid, cfg.num_nb_cells),
+            pad(jnp.where(active, p[:, 0], S), S),
+            pad(jnp.where(active, p[:, 1], S), S),
+            pad(jnp.where(active, p[:, 2], S), S),
+            pad(jnp.where(active, x[:, 0], S), 0.0),
+            pad(jnp.where(active, x[:, 1], S), 0.0),
+            pad(jnp.where(active, x[:, 2], S), 0.0),
+            pad(ids, -1),
+        ),
+        num_keys=1,
+    )
+    sorted_cid_pad = sorted_ops[0]
+    p_s = jnp.stack(sorted_ops[1:4], axis=1)[:cap]
+    last_s = jnp.stack(sorted_ops[4:7], axis=1)[:cap]
+    ids_s = sorted_ops[7][:cap]
+    active_s = ids_s >= 0
+    plan_overflow = pallas_pbf.build_plan(cfg, sorted_cid_pad).n_overflow
+
+    p_solved = pallas_pbf.solve_pallas(
+        cfg, p_s, sorted_cid_pad, interpret=pallas_interpret
+    )
+    x_new, v_new = finalize(cfg, p_solved, last_s)
+    x_new = jnp.where(active_s[:, None], x_new, SENTINEL)
+    v_new = jnp.where(active_s[:, None], v_new, 0.0)
+
+    zero = jnp.zeros((), jnp.int32)
     stats = jnp.stack(
-        [
-            jnp.sum(active).astype(jnp.int32),
-            mig_overflow,
-            merge_overflow,
-            ghost_overflow,
-            plan.n_overflow,
-        ]
+        [jnp.sum(active_s).astype(jnp.int32), zero, zero, zero,
+         plan_overflow]
     )[None]
-    return x_new, v_new, ids, stats
+    speed = jnp.where(active_s, jnp.linalg.norm(v_new, axis=1), 0.0)
+    out = active_s & (
+        (x_new < -0.25) | (x_new > cfg.wall + 0.25)).any(axis=1)
+    finite = (
+        jnp.isfinite(jnp.where(active_s[:, None], x_new, 0.0)).all()
+        & jnp.isfinite(v_new).all()
+    )
+    diag = jnp.stack(
+        [jnp.max(speed), jnp.sum(out).astype(jnp.float32),
+         (~finite).astype(jnp.float32)]
+    )[None]
+    return x_new, v_new, ids_s, bounds, stats, diag
 
 
 def _shard_step(cfg: SimConfig, pcfg: ParallelConfig, backend: str,
-                pallas_interpret: bool, x, v, ids):
-    """Body run under shard_map; x (cap, 3), v (cap, 3), ids (cap,)."""
+                pallas_interpret: bool, x, v, ids, bounds):
+    """Body run under shard_map; x (cap, 3), v (cap, 3), ids (cap,),
+    bounds (1, D+2). Returns (x, v, ids, bounds, stats, diag)."""
     D = pcfg.n_devices
     cap = pcfg.capacity
-    me = jax.lax.axis_index("z")
-    right_perm = [(i, i + 1) for i in range(D - 1)]
-    left_perm = [(i + 1, i) for i in range(D - 1)]
+    zero = jnp.zeros((), jnp.int32)
 
-    def pshift(arr, perm):
-        return jax.lax.ppermute(arr, "z", perm) if perm else jnp.zeros_like(arr)
+    if D == 1 and backend == "pallas":
+        return _step_single_pallas(cfg, pcfg, pallas_interpret, x, v, ids,
+                                   bounds)
 
     active = ids >= 0
+
+    # ---------------- boundary update (load balance) -------------------
+    brow = bounds[0]
+    if D > 1 and pcfg.rebalance:
+        brow = _update_bounds(pcfg, brow, active, _zcell(cfg, x),
+                              cap_lim=cap - cap // 8)
+    b = brow[1:]                                   # (D+1,) z-cell boundaries
+
     p, _ = predict(cfg, x, v)
     p = jnp.where(active[:, None], p, SENTINEL)
     last = jnp.where(active[:, None], x, SENTINEL)
 
-    # ---------------- migration (adjacent shards only) ----------------
-    dest = _slab_of_zcell(pcfg, cfg, _zcell(cfg, p))
-    dest_clipped = jnp.clip(dest, me - 1, me + 1)
-    mig_overflow = jnp.sum(active & (dest != dest_clipped)).astype(jnp.int32)
+    if D > 1:
+        me = jax.lax.axis_index("z")
+        right_perm = [(i, i + 1) for i in range(D - 1)]
+        left_perm = [(i + 1, i) for i in range(D - 1)]
 
-    def mig_buffer(direction_mask):
-        idx, ok, over = _pack_rows(direction_mask, pcfg.mig_capacity)
-        buf = jnp.concatenate(
-            [
-                jnp.where(ok[:, None], p[idx], SENTINEL),
-                jnp.where(ok[:, None], last[idx], SENTINEL),
-                ok[:, None].astype(jnp.float32),
-                jax.lax.bitcast_convert_type(
-                    jnp.where(ok, ids[idx], -1), jnp.float32
-                )[:, None],
-            ],
-            axis=1,
-        )  # (mig_cap, 8)
-        return buf, over
+        def pshift(arr, perm):
+            return (jax.lax.ppermute(arr, "z", perm) if perm
+                    else jnp.zeros_like(arr))
 
-    go_left = active & (dest_clipped < me)
-    go_right = active & (dest_clipped > me)
-    buf_l, over_l = mig_buffer(go_left)
-    buf_r, over_r = mig_buffer(go_right)
-    recv_from_right = pshift(buf_l, left_perm)   # their left-goers arrive here
-    recv_from_left = pshift(buf_r, right_perm)
-    mig_overflow = mig_overflow + over_l + over_r
+        # ---------------- migration (adjacent shards only) -------------
+        cz = _zcell(cfg, p)
+        dest = jnp.sum((cz[:, None] >= b[None, 1:D]).astype(jnp.int32),
+                       axis=1)
+        dest_clipped = jnp.clip(dest, me - 1, me + 1)
+        mig_overflow = jnp.sum(
+            active & (dest != dest_clipped)).astype(jnp.int32)
 
-    stay = active & (dest_clipped == me)
-
-    def unpack(buf):
-        bp = buf[:, 0:3]
-        blast = buf[:, 3:6]
-        bok = buf[:, 6] > 0.5
-        bids = jax.lax.bitcast_convert_type(buf[:, 7], jnp.int32)
-        return bp, blast, jnp.where(bok, bids, -1), bok
-
-    rp_l, rlast_l, rids_l, rok_l = unpack(recv_from_left)
-    rp_r, rlast_r, rids_r, rok_r = unpack(recv_from_right)
-
-    all_p = jnp.concatenate([jnp.where(stay[:, None], p, SENTINEL), rp_l, rp_r])
-    all_last = jnp.concatenate(
-        [jnp.where(stay[:, None], last, SENTINEL), rlast_l, rlast_r]
-    )
-    all_ids = jnp.concatenate([jnp.where(stay, ids, -1), rids_l, rids_r])
-    all_ok = jnp.concatenate([stay, rok_l, rok_r])
-
-    idx, ok, merge_overflow = _pack_rows(all_ok, cap)
-    p = jnp.where(ok[:, None], all_p[idx], SENTINEL)
-    last = jnp.where(ok[:, None], all_last[idx], SENTINEL)
-    ids = jnp.where(ok, all_ids[idx], -1)
-    active = ok
-
-    # ---------------- frozen ghost packing + neighbor structure -------
-    lo, hi = _slab_bounds(pcfg, cfg, me)
-    cz = _zcell(cfg, p)
-    # edge shards have no neighbor on that side: selecting their boundary
-    # rows anyway would waste ghost capacity and fire spurious overflow
-    ghost_l_idx, ghost_l_ok, gover_l = _pack_rows(
-        active & (cz < lo + 2) & (me > 0), pcfg.ghost_capacity
-    )
-    ghost_r_idx, ghost_r_ok, gover_r = _pack_rows(
-        active & (cz >= hi - 2) & (me < D - 1), pcfg.ghost_capacity
-    )
-    ghost_overflow = gover_l + gover_r
-
-    def exchange_ghosts(p_now):
-        def buf(idx, ok):
-            return jnp.concatenate(
+        def mig_buffer(direction_mask):
+            idx, ok, over = _pack_rows(direction_mask, pcfg.mig_capacity)
+            buf = jnp.concatenate(
                 [
-                    jnp.where(ok[:, None], p_now[idx], SENTINEL),
+                    jnp.where(ok[:, None], p[idx], SENTINEL),
+                    jnp.where(ok[:, None], last[idx], SENTINEL),
                     ok[:, None].astype(jnp.float32),
+                    jax.lax.bitcast_convert_type(
+                        jnp.where(ok, ids[idx], -1), jnp.float32
+                    )[:, None],
                 ],
                 axis=1,
-            )
+            )  # (mig_cap, 8)
+            return buf, over
 
-        from_left = pshift(buf(ghost_r_idx, ghost_r_ok), right_perm)
-        from_right = pshift(buf(ghost_l_idx, ghost_l_ok), left_perm)
-        gp = jnp.concatenate([from_left[:, 0:3], from_right[:, 0:3]])
-        gok = jnp.concatenate([from_left[:, 3], from_right[:, 3]]) > 0.5
-        return jnp.where(gok[:, None], gp, SENTINEL), gok
+        go_left = active & (dest_clipped < me)
+        go_right = active & (dest_clipped > me)
+        buf_l, over_l = mig_buffer(go_left)
+        buf_r, over_r = mig_buffer(go_right)
+        recv_from_right = pshift(buf_l, left_perm)  # their left-goers arrive
+        recv_from_left = pshift(buf_r, right_perm)
+        mig_overflow = mig_overflow + over_l + over_r
 
-    ghosts0, gok0 = exchange_ghosts(p)
-    combined0 = jnp.concatenate([p, ghosts0])          # (cap + 2G, 3)
+        stay = active & (dest_clipped == me)
 
-    if backend == "pallas":
-        return _pallas_solve_and_finalize(
-            cfg, pcfg, p, last, active, ids, combined0, gok0,
-            exchange_ghosts, mig_overflow, merge_overflow, ghost_overflow,
-            pallas_interpret,
+        def unpack(buf):
+            bp = buf[:, 0:3]
+            blast = buf[:, 3:6]
+            bok = buf[:, 6] > 0.5
+            bids = jax.lax.bitcast_convert_type(buf[:, 7], jnp.int32)
+            return bp, blast, jnp.where(bok, bids, -1), bok
+
+        rp_l, rlast_l, rids_l, rok_l = unpack(recv_from_left)
+        rp_r, rlast_r, rids_r, rok_r = unpack(recv_from_right)
+
+        all_p = jnp.concatenate(
+            [jnp.where(stay[:, None], p, SENTINEL), rp_l, rp_r])
+        all_last = jnp.concatenate(
+            [jnp.where(stay[:, None], last, SENTINEL), rlast_l, rlast_r]
         )
+        all_ids = jnp.concatenate([jnp.where(stay, ids, -1), rids_l, rids_r])
+        all_ok = jnp.concatenate([stay, rok_l, rok_r])
 
-    # inactive slots (padding, invalid ghosts) get the explicit past-the-end
-    # cell id, exactly like the pallas branch: they sort after every real
-    # particle and are excluded from the table and the overflow count.
-    # (Round 1 instead parked them in the LAST REAL cell via position
-    # clamping and ignored that cell — silently dropping any real particle
-    # that reached the grid's far-corner cell, which became reachable once
-    # the neighbor grid shrank to the box extent. Advisor finding.)
-    combined_ok0 = jnp.concatenate([active, gok0])
-    cid = jnp.where(
-        combined_ok0, hashgrid.cell_ids(cfg, combined0), cfg.num_nb_cells
-    )
-    sorted_cid, order = hashgrid.sort_by_cell(cfg, cid)
-    inv_order = jnp.argsort(order)
-    grid = hashgrid.build_grid(cfg, sorted_cid, order,
-                               ignore_cell=cfg.num_nb_cells)
+        idx, ok, merge_overflow = _pack_rows(all_ok, cap)
+        p = jnp.where(ok[:, None], all_p[idx], SENTINEL)
+        last = jnp.where(ok[:, None], all_last[idx], SENTINEL)
+        ids = jnp.where(ok, all_ids[idx], -1)
+        active = ok
+
+        # ---------------- frozen ghost packing + exchange --------------
+        lo = b[me]
+        hi = b[me + 1]
+        cz = _zcell(cfg, p)
+        # edge shards have no neighbor on that side: selecting their
+        # boundary rows anyway would waste ghost capacity and fire
+        # spurious overflow
+        ghost_l_idx, ghost_l_ok, gover_l = _pack_rows(
+            active & (cz < lo + 2) & (me > 0), pcfg.ghost_capacity
+        )
+        ghost_r_idx, ghost_r_ok, gover_r = _pack_rows(
+            active & (cz >= hi - 2) & (me < D - 1), pcfg.ghost_capacity
+        )
+        ghost_overflow = gover_l + gover_r
+
+        def exchange_ghosts(p_now):
+            def buf(idx, ok):
+                return jnp.concatenate(
+                    [
+                        jnp.where(ok[:, None], p_now[idx], SENTINEL),
+                        ok[:, None].astype(jnp.float32),
+                    ],
+                    axis=1,
+                )
+
+            from_left = pshift(buf(ghost_r_idx, ghost_r_ok), right_perm)
+            from_right = pshift(buf(ghost_l_idx, ghost_l_ok), left_perm)
+            gp = jnp.concatenate([from_left[:, 0:3], from_right[:, 0:3]])
+            gok = jnp.concatenate([from_left[:, 3], from_right[:, 3]]) > 0.5
+            return jnp.where(gok[:, None], gp, SENTINEL), gok
+
+        ghosts0, gok0 = exchange_ghosts(p)
+    else:
+        mig_overflow = merge_overflow = ghost_overflow = zero
+        exchange_ghosts = None
+        ghosts0 = gok0 = None
 
     # ---------------- constraint iterations ---------------------------
-    def body(_, p_loc):
-        ghosts, _ = exchange_ghosts(p_loc)
-        combined = jnp.concatenate([p_loc, ghosts])
-        p_sorted = jnp.take(combined, order, axis=0)
-        tx = hashgrid.scatter_table(cfg, grid, p_sorted[:, 0])
-        ty = hashgrid.scatter_table(cfg, grid, p_sorted[:, 1])
-        tz = hashgrid.scatter_table(cfg, grid, p_sorted[:, 2])
-        tlam = cell_list.density_lambda_tables(cfg, tx, ty, tz, grid)
-        ddx, ddy, ddz = cell_list.project_tables(cfg, tx, ty, tz, tlam, grid)
-        dp_sorted = jnp.stack(
-            [
-                hashgrid.gather_table(cfg, grid, ddx, jnp.zeros_like(p_sorted[:, 0])),
-                hashgrid.gather_table(cfg, grid, ddy, jnp.zeros_like(p_sorted[:, 0])),
-                hashgrid.gather_table(cfg, grid, ddz, jnp.zeros_like(p_sorted[:, 0])),
-            ],
-            axis=1,
+    if backend == "pallas":
+        p, plan_overflow = _solve_pallas(
+            cfg, cap, p, last, active, exchange_ghosts, ghosts0, gok0,
+            pallas_interpret,
         )
-        dp = jnp.take(dp_sorted, inv_order, axis=0)[:cap]
-        return p_loc + jnp.where(active[:, None], dp, 0.0)
-
-    p = jax.lax.fori_loop(0, cfg.solver_iters, body, p)
+    else:
+        p, plan_overflow = _solve_cell(
+            cfg, cap, p, last, active, exchange_ghosts, ghosts0, gok0,
+        )
 
     # ---------------- finalize ----------------------------------------
     x_new, v_new = finalize(cfg, p, last)
@@ -424,16 +645,37 @@ def _shard_step(cfg: SimConfig, pcfg: ParallelConfig, backend: str,
             mig_overflow,
             merge_overflow,
             ghost_overflow,
-            grid.n_overflow,
+            plan_overflow,
         ]
     )[None]
-    return x_new, v_new, ids, stats
+    # per-shard physics observability (VERDICT round 2: a regression on the
+    # mesh path must fail loudly, like the CLI does on the single-device
+    # path — core/step.py diagnostics_fn is the model)
+    speed = jnp.where(active, jnp.linalg.norm(v_new, axis=1), 0.0)
+    out = active & (
+        (x_new < -0.25) | (x_new > cfg.wall + 0.25)).any(axis=1)
+    finite = (
+        jnp.isfinite(jnp.where(active[:, None], x_new, 0.0)).all()
+        & jnp.isfinite(v_new).all()
+    )
+    diag = jnp.stack(
+        [
+            jnp.max(speed),
+            jnp.sum(out).astype(jnp.float32),
+            (~finite).astype(jnp.float32),
+        ]
+    )[None]
+    return x_new, v_new, ids, brow[None], stats, diag
+
+
+_IN_SPECS = (P("z"), P("z"), P("z"), P("z"))
+_OUT_SPECS = (P("z"), P("z"), P("z"), P("z"), P("z"), P("z"))
 
 
 @functools.lru_cache(maxsize=32)
 def make_sharded_step(cfg: SimConfig, pcfg: ParallelConfig, mesh: Mesh,
                       backend: str = "cell", pallas_interpret: bool = False):
-    """Jitted SPMD step over (D*cap, ...) arrays sharded along the mesh.
+    """Jitted SPMD step: ShardedState -> (ShardedState, stats, diag).
     Memoized on its (hashable) arguments so repeat calls share one compile.
 
     backend "cell" solves on the XLA cell table (portable; the parity
@@ -441,22 +683,28 @@ def make_sharded_step(cfg: SimConfig, pcfg: ParallelConfig, mesh: Mesh,
     production multi-chip path — same physics, same frozen neighbor
     structure, per-iteration ghost refresh).
 
-    Returns fn(x, v, ids) -> (x, v, ids, stats) with stats (D, 5):
-    [active, migration_overflow, merge_overflow, ghost_overflow,
-    neighbor_structure_overflow] per shard.
+    stats (D, 5) i32 per shard: [active, migration_overflow, merge_overflow,
+    ghost_overflow, neighbor_structure_overflow].
+    diag (D, 3) f32 per shard: [max_speed, n_escaped, nan_detected].
     """
     if backend not in ("cell", "pallas"):
         raise ValueError(f"unknown sharded backend {backend!r}")
     _validate_geometry(cfg, pcfg)
-    fn = jax.shard_map(
+    body = jax.shard_map(
         partial(_shard_step, cfg, pcfg, backend, pallas_interpret),
         mesh=mesh,
-        in_specs=(P("z"), P("z"), P("z")),
-        out_specs=(P("z"), P("z"), P("z"), P("z")),
+        in_specs=_IN_SPECS,
+        out_specs=_OUT_SPECS,
         # pallas_call out_shapes don't carry varying-mesh-axes metadata yet
         check_vma=(backend != "pallas"),
     )
-    return jax.jit(fn)
+
+    def step(sst: ShardedState):
+        x, v, ids, bounds, stats, diag = body(sst.x, sst.v, sst.ids,
+                                              sst.bounds)
+        return ShardedState(x, v, ids, bounds), stats, diag
+
+    return jax.jit(step)
 
 
 @functools.lru_cache(maxsize=32)
@@ -466,42 +714,138 @@ def make_sharded_rollout(cfg: SimConfig, pcfg: ParallelConfig, mesh: Mesh,
                          unroll_steps: int = 1):
     """N sharded steps per device call via lax.scan — same amortization as
     core.step.make_rollout (the tunneled runtime charges ~30-60 ms per jitted
-    call). Returns fn(x, v, ids) -> (x, v, ids, last_stats)."""
+    call). Returns fn(sst) -> (sst, last_stats, last_diag)."""
     if backend not in ("cell", "pallas"):
         raise ValueError(f"unknown sharded backend {backend!r}")
+    _validate_geometry(cfg, pcfg)
     body = jax.shard_map(
         partial(_shard_step, cfg, pcfg, backend, pallas_interpret),
         mesh=mesh,
-        in_specs=(P("z"), P("z"), P("z")),
-        out_specs=(P("z"), P("z"), P("z"), P("z")),
+        in_specs=_IN_SPECS,
+        out_specs=_OUT_SPECS,
         check_vma=(backend != "pallas"),
     )
 
-    def roll(x, v, ids):
+    def roll(sst: ShardedState):
         def scan_body(carry, _):
-            x, v, ids = carry
-            x, v, ids, stats = body(x, v, ids)
-            return (x, v, ids), stats
+            x, v, ids, bounds, stats, diag = body(*carry)
+            return (x, v, ids, bounds), (stats, diag)
 
-        (x, v, ids), stats = jax.lax.scan(
-            scan_body, (x, v, ids), None, length=unroll_steps
+        carry, (stats, diag) = jax.lax.scan(
+            scan_body, tuple(sst), None, length=unroll_steps
         )
-        return x, v, ids, stats[-1]
+        return ShardedState(*carry), stats[-1], diag[-1]
 
     return jax.jit(roll)
 
 
+def _shard_diag(cfg: SimConfig, pcfg: ParallelConfig, x, v, ids, bounds):
+    """Per-shard density diagnostics on the local cell table + ghosts —
+    the mesh-path analogue of core.step.diagnostics_fn. (cap,)-local in,
+    (1, 5) f32 out: [mean_density, max_density_err, max_speed, n_escaped,
+    nan_detected]."""
+    D = pcfg.n_devices
+    cap = pcfg.capacity
+    active = ids >= 0
+    xm = jnp.where(active[:, None], x, SENTINEL)
+
+    if D > 1:
+        me = jax.lax.axis_index("z")
+        right_perm = [(i, i + 1) for i in range(D - 1)]
+        left_perm = [(i + 1, i) for i in range(D - 1)]
+
+        def pshift(arr, perm):
+            return (jax.lax.ppermute(arr, "z", perm) if perm
+                    else jnp.zeros_like(arr))
+
+        b = bounds[0, 1:]
+        lo = b[me]
+        hi = b[me + 1]
+        cz = _zcell(cfg, xm)
+        gl_idx, gl_ok, _ = _pack_rows(
+            active & (cz < lo + 2) & (me > 0), pcfg.ghost_capacity)
+        gr_idx, gr_ok, _ = _pack_rows(
+            active & (cz >= hi - 2) & (me < D - 1), pcfg.ghost_capacity)
+
+        def buf(idx, ok):
+            return jnp.concatenate(
+                [jnp.where(ok[:, None], xm[idx], SENTINEL),
+                 ok[:, None].astype(jnp.float32)], axis=1)
+
+        from_left = pshift(buf(gr_idx, gr_ok), right_perm)
+        from_right = pshift(buf(gl_idx, gl_ok), left_perm)
+        gp = jnp.concatenate([from_left[:, 0:3], from_right[:, 0:3]])
+        gok = jnp.concatenate([from_left[:, 3], from_right[:, 3]]) > 0.5
+        combined = jnp.concatenate([xm, jnp.where(gok[:, None], gp, SENTINEL)])
+        combined_ok = jnp.concatenate([active, gok])
+    else:
+        combined = xm
+        combined_ok = active
+
+    cid = jnp.where(combined_ok, hashgrid.cell_ids(cfg, combined),
+                    cfg.num_nb_cells)
+    sorted_cid, order = hashgrid.sort_by_cell(cfg, cid)
+    grid = hashgrid.build_grid(cfg, sorted_cid, order,
+                               ignore_cell=cfg.num_nb_cells)
+    cs = jnp.take(combined, order, axis=0)
+    tx = hashgrid.scatter_table(cfg, grid, cs[:, 0])
+    ty = hashgrid.scatter_table(cfg, grid, cs[:, 1])
+    tz = hashgrid.scatter_table(cfg, grid, cs[:, 2])
+    rho_t = cell_list.density_tables(cfg, tx, ty, tz, grid)
+    rho_sorted = hashgrid.gather_table(cfg, grid, rho_t,
+                                       jnp.zeros_like(cs[:, 0]))
+    rho = jnp.take(rho_sorted, _inverse_permutation(order))[:cap]
+    # ghosts contribute to local rho but are not *measured* here (their home
+    # shard measures them); table drops read back rho == 0 and are masked
+    # (core/step.py diagnostics_fn documents the same convention)
+    meas = active & (rho > 0.0)
+    n_meas = jnp.maximum(jnp.sum(meas), 1)
+    speed = jnp.where(active, jnp.linalg.norm(v, axis=1), 0.0)
+    out = active & ((xm < -0.25) | (xm > cfg.wall + 0.25)).any(axis=1)
+    finite = (jnp.isfinite(xm * jnp.where(active[:, None], 1.0, 0.0)).all()
+              & jnp.isfinite(v).all())
+    return jnp.stack(
+        [
+            jnp.sum(jnp.where(meas, rho, 0.0)) / n_meas.astype(jnp.float32),
+            jnp.max(jnp.where(meas, jnp.abs(rho * cfg.inv_rho0 - 1.0), 0.0)),
+            jnp.max(speed),
+            jnp.sum(out).astype(jnp.float32),
+            (~finite).astype(jnp.float32),
+        ]
+    )[None]
+
+
+@functools.lru_cache(maxsize=32)
+def make_sharded_diagnostics(cfg: SimConfig, pcfg: ParallelConfig,
+                             mesh: Mesh):
+    """Jitted ShardedState -> (D, 5) f32 per-shard diagnostics:
+    [mean_density, max_density_err, max_speed, n_escaped, nan_detected].
+    Runs on the XLA cell table regardless of the step backend (it is called
+    at metrics cadence, not per step)."""
+    _validate_geometry(cfg, pcfg)
+    body = jax.shard_map(
+        partial(_shard_diag, cfg, pcfg),
+        mesh=mesh,
+        in_specs=_IN_SPECS,
+        out_specs=P("z"),
+    )
+    return jax.jit(lambda sst: body(sst.x, sst.v, sst.ids, sst.bounds))
+
+
 def distribute(cfg: SimConfig, pcfg: ParallelConfig, state: SimState,
-               mesh: Mesh):
-    """SimState -> sharded (x, v, ids) laid out by owning slab."""
+               mesh: Mesh) -> ShardedState:
+    """SimState -> ShardedState laid out by owning slab, with
+    count-equalizing initial boundaries (quantile split of the z histogram)
+    when rebalancing is on."""
     D, cap = pcfg.n_devices, pcfg.capacity
     x = np.asarray(state.x)
     v = np.asarray(state.v)
     ids = np.asarray(state.ids)
+    b = initial_bounds(cfg, D, state=state, rebalance=pcfg.rebalance,
+                       z_cells_hi=pcfg.z_cells_hi)
     cz = np.clip((x[:, 2] / cfg.nb_cell).astype(np.int64), 0,
                  cfg.nb_grid_width - 1)
-    z_hi = pcfg.z_cells_hi or cfg.nb_grid_width
-    dest = np.minimum(cz * D // z_hi, D - 1)
+    dest = np.searchsorted(b[1:-1], cz, side="right")
 
     gx = np.full((D, cap, 3), SENTINEL, np.float32)
     gv = np.zeros((D, cap, 3), np.float32)
@@ -517,19 +861,22 @@ def distribute(cfg: SimConfig, pcfg: ParallelConfig, state: SimState,
         gv[d, : len(sel)] = v[sel]
         gids[d, : len(sel)] = ids[sel]
 
+    brows = np.tile(np.concatenate([[0], b]).astype(np.int32), (D, 1))
+
     shard = NamedSharding(mesh, P("z"))
-    return (
-        jax.device_put(gx.reshape(D * cap, 3), shard),
-        jax.device_put(gv.reshape(D * cap, 3), shard),
-        jax.device_put(gids.reshape(D * cap), shard),
+    return ShardedState(
+        x=jax.device_put(gx.reshape(D * cap, 3), shard),
+        v=jax.device_put(gv.reshape(D * cap, 3), shard),
+        ids=jax.device_put(gids.reshape(D * cap), shard),
+        bounds=jax.device_put(brows, shard),
     )
 
 
-def collect(x, v, ids) -> SimState:
-    """Sharded arrays -> a dense SimState in original id order."""
-    x = np.asarray(x)
-    v = np.asarray(v)
-    ids = np.asarray(ids)
+def collect(sst: ShardedState) -> SimState:
+    """ShardedState -> a dense SimState in original id order."""
+    x = np.asarray(sst.x)
+    v = np.asarray(sst.v)
+    ids = np.asarray(sst.ids)
     sel = ids >= 0
     x, v, ids = x[sel], v[sel], ids[sel]
     order = np.argsort(ids)

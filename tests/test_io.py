@@ -222,3 +222,37 @@ def test_cli_smoke(tmp_path):
     rc = main(["--resume", ck, "--steps", "2", "--chunk", "2",
                "--backend", "cell", "--metrics", metrics])
     assert rc == 0
+
+
+@pytest.mark.slow  # one shard_map compile (~minute on the fake-device mesh)
+def test_cli_mesh_smoke(tmp_path):
+    """VERDICT round 2 item 4: the app layer drives the mesh path end to
+    end — metrics, a frame, and a resumable checkpoint on 8 fake devices."""
+    from pdb_sph_tpu.cli import main
+    metrics = str(tmp_path / "m.jsonl")
+    ck = str(tmp_path / "ck.npz")
+    rc = main([
+        "--scene", "dam_break", "--n", "256", "--steps", "4", "--chunk", "2",
+        "--backend", "cell", "--devices", "8", "--metrics", metrics,
+        "--metrics-every", "2", "--render-every", "2",
+        "--out", str(tmp_path / "fr"), "--width", "64", "--height", "48",
+        "--checkpoint", ck, "--max-occ", "384",
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in open(metrics)]
+    assert lines[0]["event"] == "start" and lines[0]["devices"] == 8
+    assert lines[-1]["event"] == "done"
+    prog = [l for l in lines if l.get("event") == "progress"]
+    assert all(not l["nan_detected"] for l in prog)
+    assert all(sum(l["per_shard_active"]) == 256 for l in prog)
+    assert any("mean_density" in l for l in prog)
+    assert os.path.exists(ck)
+    cfg, st = checkpoint.load(ck)
+    assert int(st.step) == 4 and cfg.n == 256
+    assert len(os.listdir(str(tmp_path / "fr"))) >= 2
+
+    # resume on the mesh
+    rc = main(["--resume", ck, "--steps", "2", "--chunk", "2",
+               "--backend", "cell", "--devices", "8", "--metrics", metrics,
+               "--metrics-every", "0"])
+    assert rc == 0

@@ -60,13 +60,15 @@ def test_pallas_nonmultiple_of_128():
     np.testing.assert_allclose(x_p, x_c, rtol=1e-5, atol=1e-6)
 
 
-def _coverage(segs_row, nblocks, n_pad):
+def _coverage(segs_row, nsegs, n_pad):
     """Per-particle-lane stream counts for one chunk's segment table,
     mapping shifted-copy array offsets back to particle lanes. Lanes >=
-    n_pad are the sentinel pad zone (repeats allowed there)."""
-    stride = n_pad + pallas_pbf.CC
-    covered = np.zeros(n_pad + pallas_pbf.CC, dtype=int)
-    for s in range(nblocks * pallas_pbf.SPB):
+    n_pad are the sentinel pad zone (repeats allowed there). Lane SEGW-1
+    holds the chunk's SEGMENT count (each pass derives its own block
+    count from it)."""
+    stride = n_pad + pallas_pbf.CC_PAD
+    covered = np.zeros(n_pad + pallas_pbf.CC_PAD, dtype=int)
+    for s in range(nsegs):
         src = int(segs_row[s])
         assert src % pallas_pbf.SEG == 0, "unaligned seg"
         copy = src // stride
@@ -183,7 +185,8 @@ def test_leftover_epilogue_parity():
     )
     sc, _ = hashgrid.sort_by_cell(cfg, cid_pad)
     plan = pallas_pbf.build_plan(cfg, sc)
-    nblocks = np.asarray(plan.seg_src)[:, 0, pallas_pbf.SEGW - 1]
+    nsegs = np.asarray(plan.seg_src)[:, 0, pallas_pbf.SEGW - 1]
+    nblocks = -(-nsegs // pallas_pbf.SPB_D)
     rems = {int(t % pallas_pbf.CHAINS) for t in nblocks if t > 0}
     if pallas_pbf.CHAINS == 3:  # default geometry; env sweeps may differ
         assert rems == {0, 1, 2}, (
@@ -234,13 +237,13 @@ def test_plan_overflow_truncation_accounting():
     assert int(plan.n_overflow) > 0, "expected candidate truncation"
     segs = np.asarray(plan.seg_src)[:, 0, : pallas_pbf.MAX_SEG]
     assert (segs % pallas_pbf.SEG == 0).all()
-    stride = n_pad + pallas_pbf.CC
+    stride = n_pad + pallas_pbf.CC_PAD
     copy = segs // stride
     lane = segs - copy * stride - copy * pallas_pbf.QSHIFT
     assert ((copy >= 0) & (copy < pallas_pbf.NCOPIES)).all()
     assert ((lane >= 0) & (lane <= n_pad)).all()
-    nblocks = np.asarray(plan.seg_src)[:, 0, pallas_pbf.SEGW - 1]
-    assert nblocks.max() * pallas_pbf.SPB <= pallas_pbf.MAX_SEG
+    nsegs = np.asarray(plan.seg_src)[:, 0, pallas_pbf.SEGW - 1]
+    assert nsegs.max() <= pallas_pbf.MAX_SEG
 
 
 @pytest.mark.slow  # subprocess re-import + interpret-mode parity, ~130 s
@@ -283,6 +286,46 @@ print("OK")
     import os
 
     env = dict(os.environ, PBF_MAXLANES="131072", JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "OK" in out.stdout
+
+
+@pytest.mark.slow  # subprocess re-import + interpret-mode parity
+def test_per_pass_cc_parity():
+    """PBF_CC_D != PBF_CC_P (round-3 lever: the two passes have different
+    accumulator pressure, so their optimal block widths differ) must keep
+    exact solver parity with the cell backend — the shared SEG-granular
+    plan feeds both widths. Runs in a subprocess because the geometry is
+    module-level state frozen at import."""
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import numpy as np
+from pdb_sph_tpu import default_config, spawn
+from pdb_sph_tpu.core.step import make_step
+from pdb_sph_tpu.ops import pallas_pbf
+
+assert pallas_pbf.CC_D == 384 and pallas_pbf.CC_P == 256
+assert pallas_pbf.SPB_D == 3 and pallas_pbf.SPB_P == 2
+assert pallas_pbf.MAX_SEG % (2 * 6) == 0   # lcm rounding covers both passes
+
+cfg = default_config(n=512, max_occupied_cells=1024, cell_capacity=512)
+st = spawn(cfg, "blowup", seed=0)
+sc_step = make_step(cfg, backend="cell")(st)
+sp_step = make_step(cfg, backend="pallas", pallas_interpret=True)(st)
+inv_c = np.argsort(np.asarray(sc_step.ids))
+inv_p = np.argsort(np.asarray(sp_step.ids))
+np.testing.assert_allclose(np.asarray(sp_step.x)[inv_p],
+                           np.asarray(sc_step.x)[inv_c],
+                           rtol=1e-5, atol=1e-6)
+print("OK")
+"""
+    env = dict(os.environ, PBF_CC_D="384", PBF_CC_P="256",
+               JAX_PLATFORMS="cpu")
     out = subprocess.run([sys.executable, "-c", code], env=env,
                          capture_output=True, text=True, timeout=600)
     assert out.returncode == 0, out.stdout + out.stderr

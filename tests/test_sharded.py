@@ -1,5 +1,6 @@
 """Sharded (8 fake CPU devices) vs single-device parity — SURVEY.md section 4
-"multi-device without a cluster"."""
+"multi-device without a cluster" — plus the load-balanced decomposition
+invariants (occupancy-tracking boundary updates, round-3 addition)."""
 
 import jax
 import jax.numpy as jnp
@@ -20,14 +21,14 @@ def mesh():
 
 
 def _run_sharded(cfg, state, mesh, steps, backend="cell", slack=4.0):
-    pcfg = sharded.ParallelConfig.create(cfg, D, slack=slack)
+    pcfg = sharded.ParallelConfig.create(cfg, D, slack=slack, state=state)
     step = sharded.make_sharded_step(cfg, pcfg, mesh, backend=backend,
                                      pallas_interpret=(backend == "pallas"))
-    x, v, ids = sharded.distribute(cfg, pcfg, state, mesh)
+    sst = sharded.distribute(cfg, pcfg, state, mesh)
     stats = None
     for _ in range(steps):
-        x, v, ids, stats = step(x, v, ids)
-    return sharded.collect(x, v, ids), np.asarray(stats)
+        sst, stats, diag = step(sst)
+    return sharded.collect(sst), np.asarray(stats), np.asarray(diag), sst
 
 
 def _run_single(cfg, state, steps):
@@ -43,12 +44,13 @@ def _run_single(cfg, state, steps):
 def test_sharded_matches_single_device(mesh, scene):
     cfg = default_config(n=512, max_occupied_cells=640, cell_capacity=128)
     st = spawn(cfg, scene, seed=0)
-    got, stats = _run_sharded(cfg, st, mesh, steps=3)
+    got, stats, diag, _ = _run_sharded(cfg, st, mesh, steps=3)
     want_x, want_v = _run_single(cfg, st, steps=3)
     assert stats[:, 1].sum() == 0, "migration overflow"
     assert stats[:, 2].sum() == 0, "merge overflow"
     assert stats[:, 3].sum() == 0, "ghost overflow"
     assert stats[:, 0].sum() == cfg.n, "particles lost or duplicated"
+    assert diag[:, 2].sum() == 0, "NaN flagged"
     np.testing.assert_array_equal(np.asarray(got.ids), np.arange(cfg.n))
     np.testing.assert_allclose(np.asarray(got.x), want_x, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got.v), want_v, rtol=1e-3, atol=2e-3)
@@ -59,7 +61,8 @@ def test_sharded_pallas_matches_single_device(mesh):
     """The production multi-chip path: per-shard Pallas streaming solve."""
     cfg = default_config(n=384, max_occupied_cells=512, cell_capacity=128)
     st = spawn(cfg, "dam_break", seed=4)
-    got, stats = _run_sharded(cfg, st, mesh, steps=2, backend="pallas")
+    got, stats, diag, _ = _run_sharded(cfg, st, mesh, steps=2,
+                                       backend="pallas")
     want_x, want_v = _run_single(cfg, st, steps=2)
     assert stats[:, 1:].sum() == 0, f"overflow: {stats[:, 1:].sum(axis=0)}"
     assert stats[:, 0].sum() == cfg.n
@@ -74,32 +77,29 @@ def test_sharded_dense_fluid_across_slab_boundary(mesh):
     straddling a slab boundary. Sparse scenes make lambda ~ 0 and hide
     ghost-row mistakes (e.g. the floor-vs-ceil slab-bounds bug); at
     rho ~ rho0 a missing ghost row shifts positions by ~1e-4/step."""
-    import jax.numpy as jnp
-
     from pdb_sph_tpu.state import make_state
 
-    # Same cfg/pcfg as test_sharded_pallas_matches_single_device so the
-    # compiled sharded step is an lru_cache hit (compile dominates CI time);
-    # the slab-bounds/ghost logic under test is shared by both backends.
+    # Same cfg as test_sharded_pallas_matches_single_device; the
+    # slab-bounds/ghost logic under test is shared by both backends.
     cfg = default_config(n=384, max_occupied_cells=512, cell_capacity=128)
-    # straddle the slab1/slab2 edge, derived from the actual decomposition
-    # (z-cells [0, z_hi) split into D even slabs). Rest density needs
-    # n/V = 80000: a 0.168-edge cube centered on that boundary.
-    pcfg = sharded.ParallelConfig.create(cfg, D, slack=4.0)
-    z_hi = pcfg.z_cells_hi or cfg.nb_grid_width
-    z_edge = int(np.ceil(z_hi * 2 / D)) * cfg.nb_cell
+    # straddle a slab boundary of the ACTUAL initial decomposition: spawn
+    # the block first, compute the quantile bounds it induces, then center
+    # it on an internal boundary and respawn at that z
     rng = np.random.default_rng(7)
     edge = (cfg.n / 80000.0) ** (1.0 / 3.0)
     x = rng.uniform(0.0, edge, size=(cfg.n, 3)).astype(np.float32)
-    x[:, 2] += z_edge - edge / 2.0
     x[:, 0] += 0.9
     x[:, 1] += 0.9
-    st = make_state(jnp.asarray(x))
+    st0 = make_state(jnp.asarray(x))
+    b = sharded.initial_bounds(cfg, D, state=st0)
+    z_edge = int(b[D // 2]) * cfg.nb_cell
+    x2 = x.copy()
+    x2[:, 2] += z_edge - edge / 2.0
+    st = make_state(jnp.asarray(x2))
 
-    got, stats = _run_sharded(cfg, st, mesh, steps=2, backend="pallas")
+    got, stats, _, _ = _run_sharded(cfg, st, mesh, steps=2, backend="pallas")
     assert stats[:, 1:].sum() == 0, "overflow"
 
-    from pdb_sph_tpu.core.step import make_step
     ref = st
     step = make_step(cfg, backend="dense")
     for _ in range(2):
@@ -121,15 +121,15 @@ def test_sharded_dense_fluid_across_slab_boundary(mesh):
 def test_migration_moves_particles_between_shards(mesh):
     cfg = default_config(n=256, max_occupied_cells=384, cell_capacity=128)
     st = spawn(cfg, "blowup", seed=1)
-    pcfg = sharded.ParallelConfig.create(cfg, D, slack=4.0)
+    pcfg = sharded.ParallelConfig.create(cfg, D, slack=4.0, state=st)
     step = sharded.make_sharded_step(cfg, pcfg, mesh)
-    x, v, ids = sharded.distribute(cfg, pcfg, st, mesh)
+    sst = sharded.distribute(cfg, pcfg, st, mesh)
     occupancy0 = np.asarray(
-        (np.asarray(ids).reshape(D, -1) >= 0).sum(axis=1)
+        (np.asarray(sst.ids).reshape(D, -1) >= 0).sum(axis=1)
     )
     for _ in range(10):
-        x, v, ids, stats = step(x, v, ids)
-    occupancy1 = (np.asarray(ids).reshape(D, -1) >= 0).sum(axis=1)
+        sst, stats, diag = step(sst)
+    occupancy1 = (np.asarray(sst.ids).reshape(D, -1) >= 0).sum(axis=1)
     assert np.asarray(stats)[:, 0].sum() == cfg.n
     # the blowup explosion spreads the ball across slabs
     assert (occupancy1 != occupancy0).any()
@@ -148,14 +148,76 @@ def test_blowup_on_mesh_counters_stay_zero(mesh):
     st = spawn(cfg, "blowup", seed=6)
     pcfg = sharded.ParallelConfig.create(cfg, D, state=st)
     step = sharded.make_sharded_step(cfg, pcfg, mesh)
-    x, v, ids = sharded.distribute(cfg, pcfg, st, mesh)
+    sst = sharded.distribute(cfg, pcfg, st, mesh)
     for _ in range(12):
-        x, v, ids, stats = step(x, v, ids)
+        sst, stats, diag = step(sst)
         s = np.asarray(stats)
         assert s[:, 0].sum() == cfg.n, "lost particles"
         assert s[:, 1:].sum() == 0, f"overflow counters fired: {s}"
-    xs = np.asarray(x)[np.asarray(ids) >= 0]
+    xs = np.asarray(sst.x)[np.asarray(sst.ids) >= 0]
     assert np.isfinite(xs).all()
+
+
+@pytest.mark.slow
+def test_rebalance_tracks_spreading_fluid(mesh):
+    """The round-3 load-balance story: boundaries must FOLLOW the fluid.
+    Start from a deliberately bad split (even over the whole grid, which
+    leaves most shards empty on a dam break) and check the occupancy-
+    tracking updates strictly improve balance within a few steps."""
+    cfg = default_config(n=512, max_occupied_cells=640, cell_capacity=128)
+    st = spawn(cfg, "dam_break", seed=0)
+    pcfg = sharded.ParallelConfig.create(cfg, D, slack=4.0)  # no state
+    step = sharded.make_sharded_step(cfg, pcfg, mesh)
+    # even split over the full grid: the dam (z < 1) occupies the low slabs
+    pcfg_even = sharded.ParallelConfig(
+        n_devices=D, capacity=pcfg.capacity,
+        mig_capacity=pcfg.mig_capacity,
+        ghost_capacity=pcfg.ghost_capacity,
+        rebalance=False,
+    )
+    sst = sharded.distribute(cfg, pcfg_even, st, mesh)
+    # step with rebalancing on (same buffers, same layout)
+    imb0 = None
+    for i in range(16):
+        sst, stats, diag = step(sst)
+        act = np.asarray(stats)[:, 0].astype(np.float64)
+        if i == 0:
+            imb0 = act.max() / act.mean()
+        assert np.asarray(stats)[:, 1:3].sum() == 0, "migration/merge overflow"
+    imb1 = act.max() / act.mean()
+    assert np.asarray(stats)[:, 0].sum() == cfg.n
+    assert imb1 < imb0, f"imbalance did not improve: {imb0:.2f} -> {imb1:.2f}"
+    # boundaries actually moved
+    b0 = sharded.initial_bounds(cfg, D, state=None, rebalance=False)
+    b1 = np.asarray(sst.bounds)[0, 1:]
+    assert (b1 != b0).any(), "boundaries never moved"
+
+
+@pytest.mark.slow
+def test_sharded_diagnostics_detect_poisoned_state(mesh):
+    """VERDICT round 2 item 5: NaN on the mesh path must fail loudly."""
+    cfg = default_config(n=256, max_occupied_cells=384, cell_capacity=128)
+    st = spawn(cfg, "standard", seed=2)
+    pcfg = sharded.ParallelConfig.create(cfg, D, slack=4.0, state=st)
+    step = sharded.make_sharded_step(cfg, pcfg, mesh)
+    diag_fn = sharded.make_sharded_diagnostics(cfg, pcfg, mesh)
+    sst = sharded.distribute(cfg, pcfg, st, mesh)
+
+    healthy = np.asarray(diag_fn(sst))
+    assert healthy[:, 4].sum() == 0
+    assert healthy[:, 0].max() > 0, "density diagnostics all zero"
+
+    # poison one active particle's velocity
+    v = np.asarray(sst.v)
+    ids = np.asarray(sst.ids)
+    slot = int(np.nonzero(ids >= 0)[0][0])
+    v[slot] = np.nan
+    poisoned = sst._replace(v=jnp.asarray(v))
+    assert np.asarray(diag_fn(poisoned))[:, 4].sum() > 0, \
+        "diagnostics missed the NaN"
+    # and the step itself reports it in its diag row
+    _, _, diag = step(poisoned)
+    assert np.asarray(diag)[:, 2].sum() > 0, "step diag missed the NaN"
 
 
 @pytest.mark.slow
@@ -167,26 +229,57 @@ def test_migration_overflow_fires_and_physics_stays_finite(mesh):
     st = spawn(cfg, "standard", seed=4)
     # teleport speed: dt * 500 = 4.3 units of z — the full box, many slabs
     st = st._replace(v=st.v.at[0].set(jnp.array([0.0, 0.0, 500.0])))
-    pcfg = sharded.ParallelConfig.create(cfg, D, slack=4.0)
+    pcfg = sharded.ParallelConfig.create(cfg, D, slack=4.0, state=st)
     step = sharded.make_sharded_step(cfg, pcfg, mesh)
-    x, v, ids = sharded.distribute(cfg, pcfg, st, mesh)
-    x, v, ids, stats = step(x, v, ids)
+    sst = sharded.distribute(cfg, pcfg, st, mesh)
+    sst, stats, diag = step(sst)
     stats = np.asarray(stats)
     assert stats[:, 1].sum() > 0, "expected migration_overflow to fire"
     assert stats[:, 0].sum() == cfg.n, "particle count must be conserved"
-    xs = np.asarray(x)[np.asarray(ids) >= 0]
-    vs = np.asarray(v)[np.asarray(ids) >= 0]
+    xs = np.asarray(sst.x)[np.asarray(sst.ids) >= 0]
+    vs = np.asarray(sst.v)[np.asarray(sst.ids) >= 0]
     assert np.isfinite(xs).all() and np.isfinite(vs).all()
 
 
 def test_distribute_collect_roundtrip(mesh):
     cfg = default_config(n=300)
     st = spawn(cfg, "standard", seed=2)
-    pcfg = sharded.ParallelConfig.create(cfg, D, slack=4.0)
-    x, v, ids = sharded.distribute(cfg, pcfg, st, mesh)
-    back = sharded.collect(x, v, ids)
+    pcfg = sharded.ParallelConfig.create(cfg, D, slack=4.0, state=st)
+    sst = sharded.distribute(cfg, pcfg, st, mesh)
+    back = sharded.collect(sst)
     np.testing.assert_allclose(np.asarray(back.x), np.asarray(st.x), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(back.ids), np.asarray(st.ids))
+
+
+def test_initial_bounds_equalize_counts():
+    """Quantile split: every shard within row granularity of the mean on
+    the flagship dam break (the round-2 even split left half the mesh
+    empty)."""
+    cfg = default_config(n=8192, h=0.05)  # 20+ occupied rows
+    st = spawn(cfg, "dam_break", seed=0)
+    b = sharded.initial_bounds(cfg, D, state=st)
+    assert b[0] == 0 and b[-1] == cfg.nb_grid_width
+    assert (np.diff(b) >= 2).all(), "slab under 2 cells"
+    cz = np.clip((np.asarray(st.x)[:, 2] / cfg.nb_cell).astype(np.int64),
+                 0, cfg.nb_grid_width - 1)
+    dest = np.searchsorted(b[1:-1], cz, side="right")
+    occ = np.bincount(dest, minlength=D)
+    assert occ.min() >= 0.5 * occ.mean(), f"bad split: {occ.tolist()}"
+
+
+def test_pack_rows_matches_reference():
+    """The cumsum/scatter pack must behave exactly like the old stable
+    argsort pack: True slots first in input order, overflow counted."""
+    rng = np.random.default_rng(0)
+    for n, capacity in [(16, 8), (256, 128), (100, 100), (64, 256)]:
+        mask = jnp.asarray(rng.random(n) < 0.4)
+        idx, ok, over = sharded._pack_rows(mask, capacity)
+        idx, ok, over = np.asarray(idx), np.asarray(ok), int(over)
+        want = np.nonzero(np.asarray(mask))[0]
+        k = min(len(want), capacity)
+        np.testing.assert_array_equal(idx[:k], want[:k])
+        assert ok[:k].all() and not ok[k:].any()
+        assert over == max(0, len(want) - capacity)
 
 
 def test_distribute_rejects_overflow(mesh):
@@ -202,8 +295,7 @@ def test_distribute_rejects_overflow(mesh):
 def test_narrow_slab_geometry_rejected(mesh):
     """A slab under 2 z-cells breaks the adjacent-shard two-row ghost
     invariant; make_sharded_step must refuse it up front."""
-    # coarse neighbor grid: z range wall*1.25 = 2.5 over 0.25-cells -> 10
-    # z-cells across 8 devices -> narrowest slab = 1 cell
+    # coarse neighbor grid: 12 z-cells across 8 devices -> slabs under 2
     cfg = default_config(n=256, nb_cell_size=0.25, max_occupied_cells=384,
                          cell_capacity=128)
     pcfg = sharded.ParallelConfig.create(cfg, D)
