@@ -207,12 +207,13 @@ def test_sharded_diagnostics_detect_poisoned_state(mesh):
     assert healthy[:, 4].sum() == 0
     assert healthy[:, 0].max() > 0, "density diagnostics all zero"
 
-    # poison one active particle's velocity
+    # poison one active particle's velocity (keep the mesh sharding — a
+    # plain jnp.asarray would land on one device and break the SPMD call)
     v = np.asarray(sst.v)
     ids = np.asarray(sst.ids)
     slot = int(np.nonzero(ids >= 0)[0][0])
     v[slot] = np.nan
-    poisoned = sst._replace(v=jnp.asarray(v))
+    poisoned = sst._replace(v=jax.device_put(v, sst.v.sharding))
     assert np.asarray(diag_fn(poisoned))[:, 4].sum() > 0, \
         "diagnostics missed the NaN"
     # and the step itself reports it in its diag row
