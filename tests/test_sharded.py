@@ -209,7 +209,7 @@ def test_sharded_diagnostics_detect_poisoned_state(mesh):
 
     # poison one active particle's velocity (keep the mesh sharding — a
     # plain jnp.asarray would land on one device and break the SPMD call)
-    v = np.asarray(sst.v)
+    v = np.array(sst.v)  # np.asarray of a jax array is read-only
     ids = np.asarray(sst.ids)
     slot = int(np.nonzero(ids >= 0)[0][0])
     v[slot] = np.nan
