@@ -28,12 +28,22 @@ def autotune(n: int) -> int:
     from sweep_geometry import run_config
 
     best = (float("inf"), None)
-    for own, cc, nbuf, gb in [(64, 384, 8, 16), (64, 256, 8, 16),
-                              (64, 512, 8, 16), (64, 384, 12, 16),
-                              (96, 384, 8, 16)]:
-        ms, err = run_config(own, cc, nbuf, gb, n, 5, 20)
+    # (own, cc, nbuf, gb, cc_d, cc_p); None = inherit cc. The per-pass
+    # widths are the round-3 lever (density keeps 2 accumulators, project
+    # 3, so their spill points differ).
+    for own, cc, nbuf, gb, ccd, ccp in [
+            (64, 384, 8, 16, None, None), (64, 256, 8, 16, None, None),
+            (64, 512, 8, 16, None, None), (64, 384, 12, 16, None, None),
+            (96, 384, 8, 16, None, None), (64, 384, 8, 16, 512, 256),
+            (64, 384, 8, 16, 384, 256), (64, 384, 8, 16, 512, 384)]:
+        extra = {}
+        if ccd is not None:
+            extra["PBF_CC_D"] = str(ccd)
+        if ccp is not None:
+            extra["PBF_CC_P"] = str(ccp)
+        ms, err = run_config(own, cc, nbuf, gb, n, 5, 20, extra_env=extra)
         tag = dict(PBF_OWN=str(own), PBF_CC=str(cc), PBF_NBUF=str(nbuf),
-                   PBF_GB=str(gb))
+                   PBF_GB=str(gb), **extra)
         print(f"autotune {tag}: {ms if ms else err}", file=sys.stderr)
         if ms is not None and ms < best[0]:
             best = (ms, tag)

@@ -89,9 +89,15 @@ SEG = int(os.environ.get("PBF_SEG", "128"))   # candidate segment width: a
 # (density 2, project 3), so their vector-register spill points — and hence
 # the optimal block width — need not match. The plan is SEG-granular and
 # stores the SEGMENT count, so both passes share one table and each derives
-# its own block count from its own SPB. Defaults fall back to PBF_CC.
+# its own block count from its own SPB. Round-3 hardware sweep (80k dam
+# break, subprocess-per-config, docs/PERF.md): (D=384, P=256) 14.11 ms <
+# (384, 384) 15.53 < (512, 384) 15.69 < (512, 256) 16.49 — the project
+# pass wants the narrower block its third accumulator row demands, density
+# keeps 384. Defaults fall back to PBF_CC only when PBF_CC is set
+# explicitly (a shared-width sweep should move both passes together).
+_cc_env = "PBF_CC" in os.environ
 CC_D = int(os.environ.get("PBF_CC_D", str(CC)))
-CC_P = int(os.environ.get("PBF_CC_P", str(CC)))
+CC_P = int(os.environ.get("PBF_CC_P", str(CC if _cc_env else 256)))
 SPB_D = CC_D // SEG                           # segments per density block
 SPB_P = CC_P // SEG                           # segments per project block
 MAXLANES = int(os.environ.get("PBF_MAXLANES", "31744"))
