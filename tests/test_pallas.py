@@ -287,7 +287,7 @@ print("OK")
 
     env = dict(os.environ, PBF_MAXLANES="131072", JAX_PLATFORMS="cpu")
     out = subprocess.run([sys.executable, "-c", code], env=env,
-                         capture_output=True, text=True, timeout=600)
+                         capture_output=True, text=True, timeout=2400)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "OK" in out.stdout
 
@@ -327,6 +327,6 @@ print("OK")
     env = dict(os.environ, PBF_CC_D="384", PBF_CC_P="256",
                JAX_PLATFORMS="cpu")
     out = subprocess.run([sys.executable, "-c", code], env=env,
-                         capture_output=True, text=True, timeout=600)
+                         capture_output=True, text=True, timeout=2400)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "OK" in out.stdout

@@ -57,6 +57,37 @@ def test_sharded_matches_single_device(mesh, scene):
 
 
 @pytest.mark.slow
+def test_single_device_mesh_fast_path_matches_unsharded(mesh):
+    """The D == 1 degenerate mesh takes a dedicated fast path
+    (`_step_single_pallas`: one 8-operand sort, no migration/ghost machinery
+    — parallel/sharded.py round 3). It must agree with the unsharded step
+    like every other mesh shape; this is the leg `bench_sharded_overhead.py`
+    measures against the unsharded step (cli.py routes --devices 1 to the
+    plain single-device path, which the fast path mirrors)."""
+    cfg = default_config(n=384, max_occupied_cells=512, cell_capacity=128)
+    st = spawn(cfg, "dam_break", seed=4)
+    one = sharded.make_mesh(1)
+    pcfg = sharded.ParallelConfig.create(cfg, 1, slack=4.0, state=st)
+    step = sharded.make_sharded_step(cfg, pcfg, one, backend="pallas",
+                                     pallas_interpret=True)
+    sst = sharded.distribute(cfg, pcfg, st, one)
+    for _ in range(2):
+        sst, stats, diag = step(sst)
+    stats, diag = np.asarray(stats), np.asarray(diag)
+    assert stats.shape == (1, 5) and diag.shape == (1, 3)
+    assert stats[0, 0] == cfg.n, "particles lost or duplicated"
+    assert stats[0, 1:].sum() == 0, "overflow on a 1-device mesh"
+    assert diag[0, 2] == 0, "NaN flagged"
+    got = sharded.collect(sst)
+    want_x, want_v = _run_single(cfg, st, steps=2)
+    np.testing.assert_array_equal(np.asarray(got.ids), np.arange(cfg.n))
+    np.testing.assert_allclose(np.asarray(got.x), want_x, rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.v), want_v, rtol=1e-3,
+                               atol=2e-3)
+
+
+@pytest.mark.slow
 def test_sharded_pallas_matches_single_device(mesh):
     """The production multi-chip path: per-shard Pallas streaming solve."""
     cfg = default_config(n=384, max_occupied_cells=512, cell_capacity=128)
