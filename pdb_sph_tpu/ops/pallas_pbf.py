@@ -382,6 +382,34 @@ def build_plan(cfg: SimConfig, sorted_cid: jax.Array) -> SegPlan:
     return SegPlan(seg_src=seg_src, n_overflow=n_overflow)
 
 
+def restrict_plan(plan: SegPlan, keep: jax.Array) -> SegPlan:
+    """Zero the candidate-block count of every own-chunk with keep[c] ==
+    False, leaving the shared segment table untouched.
+
+    Used by the sharded path (parallel/sharded.py) to skip own-row work a
+    pass never needs: ghost particles ride the per-shard sorted array as
+    CANDIDATES, but their own-row outputs are partly or wholly discarded —
+    the project pass drops every ghost row's delta-p after the inverse
+    permutation, and the density pass only needs lambda for the INNER ghost
+    row (the outer row supplies positions only; any own-outer pair is >= one
+    cell == h apart, so the rd2 clamp zeroes its weight regardless of the
+    outer row's lambda). Because cell ids are z-major (id = cx + W*cy +
+    W^2*cz) and the array is cell-sorted, ghosts are contiguous at both ends
+    and chunk granularity loses at most one mixed chunk per zone edge.
+
+    A masked chunk still writes its outputs (lambda from zero sums =
+    1/relaxation_eps — finite, and only ever multiplied into rd2-clamped
+    zero weights; project returns the own position unchanged), so downstream
+    slicing/gather semantics are unchanged. `_pair_loop` sees a zero block
+    count: no DMA is issued and no pair math runs for the chunk.
+    """
+    total = plan.seg_src[:, :, SEGW - 1]
+    masked = jnp.where(keep[:, None], total, 0)
+    seg_src = jax.lax.dynamic_update_slice(
+        plan.seg_src, masked[:, :, None], (0, 0, SEGW - 1))
+    return SegPlan(seg_src=seg_src, n_overflow=plan.n_overflow)
+
+
 def cand_width(n_pad: int) -> int:
     """Total lane width of the candidate array: NCOPIES shifted copies of
     stride (n_pad + CC_PAD) lanes each."""

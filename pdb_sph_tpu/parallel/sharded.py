@@ -105,7 +105,8 @@ class ParallelConfig:
 
     @staticmethod
     def create(cfg: SimConfig, n_devices: int, slack: float = 1.6,
-               state: SimState | None = None, rebalance: bool = True):
+               state: SimState | None = None, rebalance: bool = True,
+               ghost_slack: float = 2.5, mig_slack: float = 3.0):
         """Size the per-shard buffers.
 
         With rebalancing (default) the boundaries keep shards near n/D, so
@@ -114,6 +115,19 @@ class ParallelConfig:
         split (a CONCENTRATED scene at row granularity — blowup in a
         handful of z-rows — can exceed the even share even under balanced
         boundaries).
+
+        Ghost/migration buffers are sized from the state too: ghost_slack x
+        the worst initial two-boundary-row population per side, mig_slack x
+        the worst single boundary row (a balance shift donates one whole row
+        in one step; ordinary advection crossers are a small fraction of a
+        row). Every exchange buffer is a FIXED ppermute payload and rides
+        the per-shard sort at solve width cap + 2*ghost_capacity, so
+        oversizing is paid every step in wire bytes AND sort/stream lanes —
+        round 3 measured ghost_capacity = capacity at 5.5x the true 1M
+        collapse maximum (docs/SCALING.md). Truncation stays loud: the
+        ghost/migration overflow counters report any slack violation.
+        Without a state both fall back to the conservative round-2 sizing
+        (ghost = capacity, migration = capacity/2).
         """
         if n_devices == 1:
             # degenerate mesh: no imbalance, no neighbors to exchange with —
@@ -128,6 +142,8 @@ class ParallelConfig:
             cfg.nb_grid_width,
             int(np.ceil((cfg.wall * 1.25) / cfg.nb_cell)),
         )
+        ghost_cap = None
+        mig_cap = None
         if state is not None:
             b = initial_bounds(cfg, n_devices, state=state,
                                rebalance=rebalance, z_cells_hi=z_hi)
@@ -138,18 +154,32 @@ class ParallelConfig:
             dest = np.searchsorted(b[1:-1], cz, side="right")
             occ_max = int(np.bincount(dest, minlength=n_devices).max())
             cap = max(cap, int(np.ceil(occ_max * 1.5 / 128) * 128))
-        # ghost buffers hold two full boundary cell-rows per side: a slab a
-        # few cells wide can have nearly its whole population in those rows,
-        # so size them like the shard itself (the ppermute payload is only
-        # (ghost_cap, 4) floats — capacity is cheap, silent truncation
-        # isn't). Migration buffers must fit a whole donated boundary row
-        # (a balance shift moves one row's population in one step), so
-        # cap/2 rather than round 2's cap/4.
+            lo, hi = b[dest], b[dest + 1]
+            two_row = max(
+                int(np.bincount(dest[cz < lo + 2],
+                                minlength=n_devices).max(initial=0)),
+                int(np.bincount(dest[cz >= hi - 2],
+                                minlength=n_devices).max(initial=0)),
+            )
+            one_row = max(
+                int(np.bincount(dest[cz == lo],
+                                minlength=n_devices).max(initial=0)),
+                int(np.bincount(dest[cz == hi - 1],
+                                minlength=n_devices).max(initial=0)),
+            )
+
+            def _round_up(x, lo_clip, hi_clip):
+                return int(min(max(-(-int(np.ceil(x)) // 128) * 128,
+                                   lo_clip), hi_clip))
+
+            ghost_cap = _round_up(ghost_slack * two_row, 256, cap)
+            mig_cap = _round_up(mig_slack * one_row, 256, cap)
         return ParallelConfig(
             n_devices=n_devices,
             capacity=cap,
-            mig_capacity=max(128, -(-(cap // 2) // 128) * 128),
-            ghost_capacity=cap,
+            mig_capacity=(mig_cap if mig_cap is not None
+                          else max(128, -(-(cap // 2) // 128) * 128)),
+            ghost_capacity=ghost_cap if ghost_cap is not None else cap,
             rebalance=rebalance,
             z_cells_hi=z_hi,
         )
@@ -361,7 +391,7 @@ def _solve_cell(cfg, cap: int, p, last, active, exchange_ghosts, ghosts0,
 
 
 def _solve_pallas(cfg, cap: int, p, last, active, exchange_ghosts, ghosts0,
-                  gok0, interpret: bool):
+                  gok0, interpret: bool, z_bounds=None):
     """Per-shard constraint solve on the Pallas streaming kernels.
 
     Same frozen-neighbor-structure semantics as the cell-table path: the
@@ -369,8 +399,17 @@ def _solve_pallas(cfg, cap: int, p, last, active, exchange_ghosts, ghosts0,
     each iteration refreshes ghost *positions* into the frozen slots.
     Inactive slots (local padding, invalid ghosts) are assigned cell id
     num_nb_cells, which sorts them after every real particle and makes
-    build_plan give their chunks zero candidates. Returns
-    (p_solved, plan_overflow)."""
+    build_plan give their chunks zero candidates.
+
+    z_bounds (lo, hi) — the shard's slab z-cell range — enables per-pass
+    OWN-ROW restriction (pallas_pbf.restrict_plan): ghosts enter the solve
+    as candidates for everyone, but as OWN rows the project pass needs none
+    of them (every ghost delta-p is discarded by the [:cap] slice below)
+    and the density pass needs only the inner ghost row's lambda. Skipping
+    the rest removes the dominant redundant pair math of the decomposition
+    — at the 1M x 8 flagship the per-shard own+ghost row count drops from
+    ~2.4x own (both passes) to ~1.7x (density) + 1.0x (project); measured
+    numbers in docs/SCALING.md. Returns (p_solved, plan_overflow)."""
     from ..ops import pallas_pbf
 
     if ghosts0 is not None:
@@ -393,6 +432,18 @@ def _solve_pallas(cfg, cap: int, p, last, active, exchange_ghosts, ghosts0,
     )
     inv_order = _inverse_permutation(order)
     plan = pallas_pbf.build_plan(cfg, sorted_cid)
+    plan_d = plan_p = plan
+    if z_bounds is not None:
+        lo, hi = z_bounds
+        w2 = cfg.nb_grid_width * cfg.nb_grid_width
+        zc = sorted_cid.reshape(-1, pallas_pbf.OWN) // w2
+        # density: own rows + one INNER ghost row per side (its lambda is
+        # read by boundary own rows); project: own rows only. Mixed chunks
+        # at a zone edge stay live for both passes via the any().
+        plan_d = pallas_pbf.restrict_plan(
+            plan, ((zc >= lo - 1) & (zc < hi + 1)).any(axis=1))
+        plan_p = pallas_pbf.restrict_plan(
+            plan, ((zc >= lo) & (zc < hi)).any(axis=1))
 
     pad_tail = jnp.full((n_pad - n_loc, 3), pallas_pbf.SENTINEL, jnp.float32)
     # inactive entries carry this module's far-out sentinel (1e9); remap them
@@ -415,10 +466,12 @@ def _solve_pallas(cfg, cap: int, p, last, active, exchange_ghosts, ghosts0,
         pT = jnp.concatenate(
             [p_sorted, jnp.zeros((n_pad, 1), jnp.float32)], axis=1)
         p4 = pallas_pbf._p4_from_pT(pT)
-        lam = pallas_pbf.density_pass(cfg, pT, p4, plan, interpret=interpret)
+        lam = pallas_pbf.density_pass(cfg, pT, p4, plan_d,
+                                      interpret=interpret)
         pT = jax.lax.dynamic_update_slice(pT, lam, (0, 3))
         p4 = pallas_pbf.splice_lambda(p4, lam, n_pad)
-        outT = pallas_pbf.project_pass(cfg, pT, p4, plan, interpret=interpret)
+        outT = pallas_pbf.project_pass(cfg, pT, p4, plan_p,
+                                       interpret=interpret)
         dp_sorted = outT[:, 0:3] - p_sorted
         dp = jnp.take(dp_sorted, inv_order, axis=0)[:cap]
         return p_loc + jnp.where(active[:, None], dp, 0.0)
@@ -618,16 +671,18 @@ def _shard_step(cfg: SimConfig, pcfg: ParallelConfig, backend: str,
             return jnp.where(gok[:, None], gp, SENTINEL), gok
 
         ghosts0, gok0 = exchange_ghosts(p)
+        z_bounds = (lo, hi)
     else:
         mig_overflow = merge_overflow = ghost_overflow = zero
         exchange_ghosts = None
         ghosts0 = gok0 = None
+        z_bounds = None
 
     # ---------------- constraint iterations ---------------------------
     if backend == "pallas":
         p, plan_overflow = _solve_pallas(
             cfg, cap, p, last, active, exchange_ghosts, ghosts0, gok0,
-            pallas_interpret,
+            pallas_interpret, z_bounds=z_bounds,
         )
     else:
         p, plan_overflow = _solve_cell(

@@ -330,3 +330,65 @@ print("OK")
                          capture_output=True, text=True, timeout=2400)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "OK" in out.stdout
+
+
+def test_restrict_plan_zeroes_only_masked_chunks():
+    """restrict_plan (the sharded path's per-pass own-row skip) must zero
+    the block count of exactly the masked chunks and leave every segment
+    source — shared by both passes — untouched."""
+    cfg = default_config(n=384)
+    st = spawn(cfg, "dam_break", seed=5)
+    n_pad = pallas_pbf.pad_to_chunks(cfg.n)
+    cid = hashgrid.cell_ids(cfg, st.x)
+    cid_pad = jnp.concatenate(
+        [cid, jnp.full((n_pad - cfg.n,), cfg.num_nb_cells, jnp.int32)]
+    )
+    sc, _ = hashgrid.sort_by_cell(cfg, cid_pad)
+    plan = pallas_pbf.build_plan(cfg, sc)
+
+    nc = n_pad // pallas_pbf.OWN
+    rng = np.random.default_rng(0)
+    keep = jnp.asarray(rng.random(nc) < 0.5)
+    got = pallas_pbf.restrict_plan(plan, keep)
+
+    a = np.asarray(plan.seg_src)[:, 0, :]
+    b = np.asarray(got.seg_src)[:, 0, :]
+    k = np.asarray(keep)
+    last = pallas_pbf.SEGW - 1
+    np.testing.assert_array_equal(b[:, :last], a[:, :last])
+    np.testing.assert_array_equal(b[k, last], a[k, last])
+    assert (b[~k, last] == 0).all()
+    assert int(got.n_overflow) == int(plan.n_overflow)
+
+
+def test_sharded_ghost_row_restriction_masks_match_zones():
+    """The sharded solve derives per-pass chunk masks from the frozen sorted
+    cell ids: project keeps chunks touching the own slab [lo, hi); density
+    additionally keeps the inner ghost row on each side. Verify the mask
+    arithmetic against a brute-force per-particle classification."""
+    cfg = default_config(n=640)
+    st = spawn(cfg, "dam_break", seed=6)
+    n_pad = pallas_pbf.pad_to_chunks(cfg.n)
+    cid = hashgrid.cell_ids(cfg, st.x)
+    cid_pad = jnp.concatenate(
+        [cid, jnp.full((n_pad - cfg.n,), cfg.num_nb_cells, jnp.int32)]
+    )
+    sc, _ = hashgrid.sort_by_cell(cfg, cid_pad)
+    w2 = cfg.nb_grid_width * cfg.nb_grid_width
+    zc_all = np.asarray(sc) // w2
+    # a slab in the middle of the spawn's z range
+    zs = np.unique(zc_all[zc_all < cfg.nb_grid_width])
+    lo, hi = int(zs[1]), int(zs[min(3, len(zs) - 1)] + 1)
+
+    zc = jnp.asarray(zc_all).reshape(-1, pallas_pbf.OWN)
+    keep_d = np.asarray(((zc >= lo - 1) & (zc < hi + 1)).any(axis=1))
+    keep_p = np.asarray(((zc >= lo) & (zc < hi)).any(axis=1))
+
+    for c in range(n_pad // pallas_pbf.OWN):
+        rows = zc_all[c * pallas_pbf.OWN:(c + 1) * pallas_pbf.OWN]
+        want_p = bool(((rows >= lo) & (rows < hi)).any())
+        want_d = bool(((rows >= lo - 1) & (rows < hi + 1)).any())
+        assert keep_p[c] == want_p
+        assert keep_d[c] == want_d
+        # project never processes a chunk density skips
+        assert not (keep_p[c] and not keep_d[c])
