@@ -8,70 +8,98 @@ Baseline: the reference README claims 60 fps at 80k particles on a GTX 1650
 run's particle-steps/s to that number.
 """
 
+import dataclasses
 import json
-import os
-import subprocess
 import sys
 import time
 
 import numpy as np
 
 
-def autotune(n: int) -> int:
+def _measure(cfg, chunk: int = 240, reps: int = 3,
+             settle_chunks: int = 1) -> float:
+    """Best-of-reps wall seconds for one `chunk`-step device-resident
+    rollout, after settling past the collapse transient + compile."""
+    import pdb_sph_tpu as pbf
+    from pdb_sph_tpu.core.step import make_rollout
+    from pdb_sph_tpu.utils.platform import auto_backend
+    from pdb_sph_tpu.utils.timing import host_sync
+
+    state = pbf.spawn(cfg, "dam_break", seed=0)
+    rollout = make_rollout(cfg, backend=auto_backend(), unroll_steps=chunk)
+    for _ in range(settle_chunks):
+        state = rollout(state)
+    host_sync(state)
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state = rollout(state)
+        host_sync(state)
+        best = min(best, time.perf_counter() - t0)
+    x = np.asarray(state.x)
+    if not np.isfinite(x).all():
+        raise RuntimeError("non-finite state")
+    return best
+
+
+def autotune(n: int):
     """--autotune: sweep the Pallas block-geometry knobs around the current
     defaults (the judge asked for this hook so the hand-tuned point doesn't
-    fossilize as n or kernel shape changes), then re-run the bench in a
-    subprocess with the winning env. Progress goes to stderr; the single
-    JSON line contract on stdout is preserved."""
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                    "benchmarks"))
-    from sweep_geometry import run_config
+    fossilize as n or kernel shape changes), then run the bench with the
+    winning geometry — all IN ONE PROCESS: geometry is config data
+    (pdb_sph_tpu.geometry.KernelGeometry), not import-time module state.
+    Progress goes to stderr; the single JSON line contract on stdout is
+    preserved. Returns the winning geometry."""
+    import pdb_sph_tpu as pbf
+    from pdb_sph_tpu.geometry import geometry_from_env
 
-    best = (float("inf"), None)
-    # (own, cc, nbuf, gb, cc_d, cc_p); None = inherit cc. The per-pass
-    # widths are the round-3 lever (density keeps 2 accumulators, project
-    # 3, so their spill points differ).
-    for own, cc, nbuf, gb, ccd, ccp in [
-            (64, 384, 8, 16, None, None), (64, 256, 8, 16, None, None),
-            (64, 512, 8, 16, None, None), (64, 384, 12, 16, None, None),
-            (96, 384, 8, 16, None, None), (64, 384, 8, 16, 512, 256),
-            (64, 384, 8, 16, 384, 256), (64, 384, 8, 16, 512, 384)]:
-        extra = {}
-        if ccd is not None:
-            extra["PBF_CC_D"] = str(ccd)
-        if ccp is not None:
-            extra["PBF_CC_P"] = str(ccp)
-        ms, err = run_config(own, cc, nbuf, gb, n, 5, 20, extra_env=extra)
-        tag = dict(PBF_OWN=str(own), PBF_CC=str(cc), PBF_NBUF=str(nbuf),
-                   PBF_GB=str(gb), **extra)
-        print(f"autotune {tag}: {ms if ms else err}", file=sys.stderr)
-        if ms is not None and ms < best[0]:
-            best = (ms, tag)
-    env = dict(os.environ)
-    if best[1]:
-        env.update(best[1])
-    out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                         env=env)
-    return out.returncode
+    base = geometry_from_env()
+    # (own, cc_d, cc_p, nbuf, gb); the per-pass widths are the round-3
+    # lever (density keeps 2 accumulators live, project 3, so their
+    # vector-register spill points differ).
+    grid = [
+        (64, 384, 256, 8, 16),   # shipped default
+        (64, 256, 256, 8, 16),
+        (64, 384, 384, 8, 16),
+        (64, 512, 256, 8, 16),
+        (64, 512, 384, 8, 16),
+        (64, 384, 256, 12, 16),
+        (96, 384, 256, 8, 16),
+    ]
+    best = (float("inf"), base)
+    for own, cc_d, cc_p, nbuf, gb in grid:
+        g = dataclasses.replace(base, own=own, cc_d=cc_d, cc_p=cc_p,
+                                nbuf=nbuf, gb=gb)
+        try:
+            g.validate()
+            cfg = pbf.default_config(n=n, geom=g)
+            # marginal two-point fit inside jitted rollouts: subtracts the
+            # tunneled runtime's fixed per-call latency
+            lo = _measure(cfg, chunk=5, reps=3, settle_chunks=4)
+            hi = _measure(cfg, chunk=20, reps=3, settle_chunks=0)
+            ms = (hi - lo) / 15 * 1e3
+        except Exception as e:  # Mosaic rejects some shapes; that's data
+            print(f"autotune {g}: FAILED {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            continue
+        print(f"autotune own={own} cc_d={cc_d} cc_p={cc_p} nbuf={nbuf} "
+              f"gb={gb}: {ms:.3f} ms/step", file=sys.stderr)
+        if ms < best[0]:
+            best = (ms, g)
+    print(f"autotune winner: {best[1]}", file=sys.stderr)
+    return best[1]
 
 
 def main() -> int:
-    if "--autotune" in sys.argv[1:]:
-        return autotune(80_000)
-    import jax
-
     import pdb_sph_tpu as pbf
-    from pdb_sph_tpu.core.step import make_rollout
-    from pdb_sph_tpu.utils.timing import host_sync
-
-    n = 80_000
-    cfg = pbf.default_config(n=n)
-    state = pbf.spawn(cfg, "dam_break", seed=0)
-
-    from pdb_sph_tpu.utils.platform import auto_backend, enable_compilation_cache
+    from pdb_sph_tpu.utils.platform import enable_compilation_cache
 
     enable_compilation_cache()
-    backend = auto_backend()
+    n = 80_000
+    geom = autotune(n) if "--autotune" in sys.argv[1:] else None
+    cfg = pbf.default_config(n=n, **({"geom": geom} if geom else {}))
+
     # 240 steps per device call: the tunneled TPU backend has ~30-60 ms of
     # fixed per-call latency; at 60 steps/call that tax alone is 0.5-1.0
     # ms/step (measured: bench 17.6 vs 16.4 in-scan for the same kernel).
@@ -79,21 +107,9 @@ def main() -> int:
     # lax.scan — the TPU analogue of the reference's zero-copy VBO loop),
     # so the bench amortizes the host boundary the same way real use does.
     chunk = 240
-    rollout = make_rollout(cfg, backend=backend, unroll_steps=chunk)
-
-    # settle past the initial collapse transient + compile
-    state = rollout(state)
-    host_sync(state)
-
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        state = rollout(state)
-        host_sync(state)
-        best = min(best, time.perf_counter() - t0)
-
-    x = np.asarray(state.x)
-    if not np.isfinite(x).all():
+    try:
+        best = _measure(cfg, chunk=chunk, reps=3)
+    except RuntimeError:
         print(json.dumps({"metric": "error", "value": 0,
                           "unit": "non-finite state", "vs_baseline": 0}))
         return 1

@@ -15,9 +15,9 @@ prints it. Timing methodology matches bench.py: device-resident rollout
 chunks, host-fenced, best of several.
 """
 
+import dataclasses
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "BENCH_MATRIX.json")
 
-# The 1M row runs with a modestly raised candidate capacity (PBF_MAXLANES).
+# The 1M row runs with a modestly raised candidate capacity (geom.maxlanes).
 # History: under the old sort-based plan builder the PER-WINDOW cap KW
 # truncated dense windows long before the total budget was spent
 # (plan_overflow snapshots on hardware: 4352 lanes at the default, 1792 at
@@ -36,9 +36,9 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 # and the measured 1M collapse peaks at 219 of the default 246 segments per
 # chunk (zero overflow, steps 0-300) — default capacity suffices, but 11%
 # headroom is thin for a chaotic trajectory, so the row keeps 49152 (384
-# segs, ~75% headroom). The knob is module-level state read at import, so
-# the row runs in a subprocess; the headline rows keep the default.
-ROW_1M_ENV = {"PBF_MAXLANES": "49152"}
+# segs, ~75% headroom). Geometry is config data (pdb_sph_tpu.geometry), so
+# the row runs in-process alongside the default-geometry headline rows.
+ROW_1M_MAXLANES = 49152
 
 
 def run_row(scene, n, settle_chunks=1, chunk=240, reps=3, diag=False,
@@ -94,22 +94,38 @@ def run_row(scene, n, settle_chunks=1, chunk=240, reps=3, diag=False,
 
 
 def row_1m() -> dict:
+    from pdb_sph_tpu.geometry import geometry_from_env
+
+    geom = dataclasses.replace(geometry_from_env(),
+                               maxlanes=ROW_1M_MAXLANES)
     r = run_row("dam_break", 1_000_000, chunk=20, reps=2, wall=4.64,
-                diag=True)
+                diag=True, geom=geom)
     r["reference"] = {"claim": "no reference configuration at this scale",
                       "source": "BASELINE.md:24"}
-    from pdb_sph_tpu.ops import pallas_pbf
-    r["env"] = {"PBF_MAXLANES": pallas_pbf.MAXLANES}
+    r["geom"] = {"maxlanes": geom.maxlanes}
+    return r
+
+
+def row_1m_blowup() -> dict:
+    """Extreme-occupancy capacity row (VERDICT round 3 item 5): the
+    concentrated-spawn stress at 1M scale. The box-relative blowup ball
+    (radius wall/4) reproduces the reference scene's ~15x rest-density
+    compression at n=1M / wall=4.64; 1000 settle steps cover the explosion
+    and most of the recovery before timing."""
+    from pdb_sph_tpu.geometry import geometry_from_env
+
+    geom = dataclasses.replace(geometry_from_env(),
+                               maxlanes=ROW_1M_MAXLANES)
+    r = run_row("blowup", 1_000_000, chunk=20, reps=2, wall=4.64,
+                diag=True, geom=geom, settle_chunks=50, cell_capacity=256)
+    r["reference"] = {"claim": "stable, recovers to equilibrium "
+                               "(80k scene scaled 12.5x)",
+                      "source": "README.md:13 + BASELINE.md:24"}
+    r["geom"] = {"maxlanes": geom.maxlanes}
     return r
 
 
 def main() -> int:
-    if "--row" in sys.argv:
-        which = sys.argv[sys.argv.index("--row") + 1]
-        assert which == "1m", which
-        print("ROW " + json.dumps(row_1m()))
-        return 0
-
     rows = []
 
     r = run_row("standard", 40_000)
@@ -137,18 +153,14 @@ def main() -> int:
     # The box scales to keep the dam at rest density (wall = 2*(n/80k)^(1/3)
     # — the reference 2.0 box physically holds at most ~640k particles at
     # rest density, and an overpacked spawn both degenerates the physics and
-    # truncates the candidate plan). Runs in a subprocess with raised
-    # candidate capacity (ROW_1M_ENV above).
-    env = dict(os.environ)
-    env.update(ROW_1M_ENV)
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--row", "1m"],
-        env=env, capture_output=True, text=True)
-    marker = [ln for ln in out.stdout.splitlines() if ln.startswith("ROW ")]
-    if out.returncode != 0 or not marker:
-        sys.stderr.write(out.stdout + out.stderr)
-        return 1
-    r = json.loads(marker[-1][4:])
+    # truncates the candidate plan). Raised candidate capacity rides the
+    # config's geometry (ROW_1M_MAXLANES above).
+    r = row_1m()
+    rows.append(r)
+    print(json.dumps(r))
+
+    # 1M concentrated-spawn stress: capacity story at extreme occupancy
+    r = row_1m_blowup()
     rows.append(r)
     print(json.dumps(r))
 

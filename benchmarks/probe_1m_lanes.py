@@ -110,22 +110,22 @@ def main(argv=None) -> int:
     ncells = cfg.num_nb_cells
     ijk = np.clip((x / cfg.nb_cell).astype(np.int64), 0, w - 1)
     cid = ijk[:, 0] + w * ijk[:, 1] + (w * w) * ijk[:, 2]
-    n_pad = pallas_pbf.pad_to_chunks(cfg.n)
+    n_pad = pallas_pbf.pad_to_chunks(cfg, cfg.n)
     cid_pad = np.concatenate(
         [cid, np.full(n_pad - cfg.n, ncells, np.int64)])
     order = np.argsort(cid_pad, kind="stable")
     sorted_cid = cid_pad[order]
 
-    seg, qshift = pallas_pbf.SEG, pallas_pbf.QSHIFT
-    max_seg = pallas_pbf.MAX_SEG
+    seg, qshift = cfg.geom.seg, cfg.geom.qshift
+    max_seg = cfg.geom.max_seg
     out = {"config": {"n": args.n, "steps": args.steps, "wall": wall,
                       "SEG": seg, "QSHIFT": qshift, "MAX_SEG": max_seg,
                       "PBF_MAXLANES": os.environ["PBF_MAXLANES"]}}
 
-    for own in (pallas_pbf.OWN, pallas_pbf.OWN // 2, pallas_pbf.OWN // 4):
+    for own in (cfg.geom.own, cfg.geom.own // 2, cfg.geom.own // 4):
         paid, exact, nsegs = window_lanes(
             sorted_cid, n_pad, w, ncells, own, seg, qshift, max_seg)
-        blocks = -(-nsegs // pallas_pbf.SPB_D)
+        blocks = -(-nsegs // cfg.geom.spb_d)
         # per-own-particle cost scales with blocks/chunk / own
         out[f"own_{own}"] = {
             "chunks": int(len(paid)),
@@ -140,7 +140,7 @@ def main(argv=None) -> int:
 
     # physics floor on the worst chunks (exact pair candidates within h):
     # sample the 8 densest chunks at the production OWN
-    own = pallas_pbf.OWN
+    own = cfg.geom.own
     paid, exact, _ = window_lanes(
         sorted_cid, n_pad, w, ncells, own, seg, qshift, max_seg)
     idx = order[: (n_pad // own) * own]

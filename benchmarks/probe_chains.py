@@ -54,7 +54,7 @@ def main():
     ro = make_rollout(cfg, backend="pallas", unroll_steps=60)
     state = ro(ro(state))      # step 120: the bench window's state
     fence(state)
-    n_pad = pallas_pbf.pad_to_chunks(n)
+    n_pad = pallas_pbf.pad_to_chunks(cfg, n)
 
     p, _ = predict(cfg, state.x, state.v)
     cid = hashgrid.cell_ids(cfg, p)
@@ -71,10 +71,10 @@ def main():
     fence(plan.seg_src)
 
     segs = np.asarray(plan.seg_src)[:, 0, :]
-    nblk = segs[:, pallas_pbf.SEGW - 1]
+    nblk = segs[:, cfg.geom.segw - 1]
     tot_blocks = float(nblk[nblk > 0].sum())
-    print(f"OWN={pallas_pbf.OWN} CC={pallas_pbf.CC} NBUF={pallas_pbf.NBUF} "
-          f"GB={pallas_pbf.GB} blocks={tot_blocks:.0f}")
+    print(f"OWN={cfg.geom.own} CC={cfg.geom.cc_d} NBUF={cfg.geom.nbuf} "
+          f"GB={cfg.geom.gb} blocks={tot_blocks:.0f}")
 
     def mk_density(ch):
         def mk(k):
@@ -82,7 +82,7 @@ def main():
                 pl_ = pallas_pbf.SegPlan(seg_src=seg_src,
                                          n_overflow=jnp.int32(0))
                 def body(i, acc):
-                    p4 = pallas_pbf._p4_from_pT(pT + acc * 1e-30)
+                    p4 = pallas_pbf._p4_from_pT(cfg, pT + acc * 1e-30)
                     lam = pallas_pbf.density_pass(
                         cfg, pT + acc * 1e-30, p4, pl_, chains=ch)
                     return acc + lam[0, 0] * 1e-30
@@ -96,7 +96,7 @@ def main():
                 pl_ = pallas_pbf.SegPlan(seg_src=seg_src,
                                          n_overflow=jnp.int32(0))
                 def body(i, acc):
-                    p4 = pallas_pbf._p4_from_pT(pT + acc * 1e-30)
+                    p4 = pallas_pbf._p4_from_pT(cfg, pT + acc * 1e-30)
                     out = pallas_pbf.project_pass(
                         cfg, pT + acc * 1e-30, p4, pl_, chains=ch)
                     return acc + out[0, 0] * 1e-30

@@ -61,10 +61,10 @@ def main():
     state = ro(state)
     state = ro(state)          # step 120: the bench window's state
     fence(state)
-    print(f"OWN={pallas_pbf.OWN} CC={pallas_pbf.CC} NBUF={pallas_pbf.NBUF} "
-          f"GB={pallas_pbf.GB} SEG={pallas_pbf.SEG}")
+    print(f"OWN={cfg.geom.own} CC={cfg.geom.cc_d} NBUF={cfg.geom.nbuf} "
+          f"GB={cfg.geom.gb} SEG={cfg.geom.seg}")
 
-    n_pad = pallas_pbf.pad_to_chunks(n)
+    n_pad = pallas_pbf.pad_to_chunks(cfg, n)
 
 
     # frozen sorted inputs for the solver pieces
@@ -83,7 +83,7 @@ def main():
     fence(plan.seg_src)
 
     segs = np.asarray(plan.seg_src)[:, 0, :]
-    nblk = segs[:, pallas_pbf.SEGW - 1]
+    nblk = segs[:, cfg.geom.segw - 1]
     act = nblk > 0
     nb = float(nblk[act].sum())
     print(f"candidate blocks/chunk: mean {nblk[act].mean():.2f} "
@@ -116,10 +116,10 @@ def main():
             pl_ = pallas_pbf.SegPlan(seg_src=seg_src,
                                      n_overflow=jnp.int32(0))
             def body(_, pT):
-                p4 = pallas_pbf._p4_from_pT(pT)
+                p4 = pallas_pbf._p4_from_pT(cfg, pT)
                 lam = pallas_pbf.density_pass(cfg, pT, p4, pl_)
                 pT = jax.lax.dynamic_update_slice(pT, lam, (0, 3))
-                p4 = pallas_pbf.splice_lambda(p4, lam, n_pad)
+                p4 = pallas_pbf.splice_lambda(cfg, p4, lam, n_pad)
                 return pallas_pbf.project_pass(cfg, pT, p4, pl_)
             return jax.lax.fori_loop(0, k, body, pT)
         return jax.jit(f), (pT0, plan.seg_src)
@@ -129,7 +129,7 @@ def main():
             pl_ = pallas_pbf.SegPlan(seg_src=seg_src,
                                      n_overflow=jnp.int32(0))
             def body(i, acc):
-                p4 = pallas_pbf._p4_from_pT(pT + acc * 1e-30)
+                p4 = pallas_pbf._p4_from_pT(cfg, pT + acc * 1e-30)
                 lam = pallas_pbf.density_pass(cfg, pT + acc * 1e-30, p4, pl_)
                 return acc + lam[0, 0] * 1e-30
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
@@ -140,7 +140,7 @@ def main():
             pl_ = pallas_pbf.SegPlan(seg_src=seg_src,
                                      n_overflow=jnp.int32(0))
             def body(i, acc):
-                p4 = pallas_pbf._p4_from_pT(pT + acc * 1e-30)
+                p4 = pallas_pbf._p4_from_pT(cfg, pT + acc * 1e-30)
                 out = pallas_pbf.project_pass(cfg, pT + acc * 1e-30, p4, pl_)
                 return acc + out[0, 0] * 1e-30
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))

@@ -157,7 +157,7 @@ def main(argv=None) -> int:
 
         # host-side accounting of the per-pass row reduction
         n_loc = cap + gcap
-        n_pad = pallas_pbf.pad_to_chunks(n_loc)
+        n_pad = pallas_pbf.pad_to_chunks(cfg, n_loc)
         comb = np.concatenate([p, ghosts])
         ok = np.concatenate([active, gok])
         from pdb_sph_tpu.ops import hashgrid
@@ -168,8 +168,8 @@ def main(argv=None) -> int:
             [cid, np.full(n_pad - n_loc, cfg.num_nb_cells, np.int64)])
         sc = np.sort(cid_pad)
         w2 = cfg.nb_grid_width ** 2
-        zc = (sc.reshape(-1, pallas_pbf.OWN) // w2)
-        real = (sc.reshape(-1, pallas_pbf.OWN) < cfg.num_nb_cells)
+        zc = (sc.reshape(-1, cfg.geom.own) // w2)
+        real = (sc.reshape(-1, cfg.geom.own) < cfg.num_nb_cells)
         keep_d = ((zc >= lo - 1) & (zc < hi + 1) & real).any(1)
         keep_p = ((zc >= lo) & (zc < hi) & real).any(1)
         live = real.any(1)

@@ -53,7 +53,7 @@ def main():
     state = ro(state)          # step 120: the bench window's state
     fence(state)
 
-    n_pad = pallas_pbf.pad_to_chunks(n)
+    n_pad = pallas_pbf.pad_to_chunks(cfg, n)
     p, _ = predict(cfg, state.x, state.v)
     cid = hashgrid.cell_ids(cfg, p)
     cid_pad = jnp.concatenate(
@@ -67,7 +67,7 @@ def main():
     pT0 = pallas_pbf.make_pT(cfg, p_s, n_pad)
     fence(pT0)
     segs = np.asarray(plan.seg_src)[:, 0, :]
-    nblk = segs[:, pallas_pbf.SEGW - 1]
+    nblk = segs[:, cfg.geom.segw - 1]
     nb = float(nblk[nblk > 0].sum())
     print(f"blocks: {nb:.0f} total, mean {nblk[nblk>0].mean():.2f}/chunk")
 
@@ -77,7 +77,7 @@ def main():
                 pl_ = pallas_pbf.SegPlan(seg_src=seg_src,
                                          n_overflow=jnp.int32(0))
                 def body(i, acc):
-                    p4 = pallas_pbf._p4_from_pT(pT + acc * 1e-30)
+                    p4 = pallas_pbf._p4_from_pT(cfg, pT + acc * 1e-30)
                     lam = pallas_pbf.density_pass(
                         cfg, pT + acc * 1e-30, p4, pl_, mxu_rd2=mxu)
                     return acc + lam[0, 0] * 1e-30
@@ -91,7 +91,7 @@ def main():
                 pl_ = pallas_pbf.SegPlan(seg_src=seg_src,
                                          n_overflow=jnp.int32(0))
                 def body(i, acc):
-                    p4 = pallas_pbf._p4_from_pT(pT + acc * 1e-30)
+                    p4 = pallas_pbf._p4_from_pT(cfg, pT + acc * 1e-30)
                     out = pallas_pbf.project_pass(
                         cfg, pT + acc * 1e-30, p4, pl_, mxu_proj=mxu)
                     return acc + out[0, 0] * 1e-30
@@ -100,7 +100,7 @@ def main():
         return mk
 
     # numerical check first: HIGH-precision dot vs exact VPU deltas
-    p4 = pallas_pbf._p4_from_pT(pT0)
+    p4 = pallas_pbf._p4_from_pT(cfg, pT0)
     lam_vpu = pallas_pbf.density_pass(cfg, pT0, p4, plan, mxu_rd2=False)
     lam_mxu = pallas_pbf.density_pass(cfg, pT0, p4, plan, mxu_rd2=True)
     lv, lm = np.asarray(lam_vpu)[:n, 0], np.asarray(lam_mxu)[:n, 0]
@@ -110,7 +110,7 @@ def main():
           flush=True)
 
     pT1 = jax.lax.dynamic_update_slice(pT0, lam_vpu, (0, 3))
-    p4l = pallas_pbf.splice_lambda(p4, lam_vpu, n_pad)
+    p4l = pallas_pbf.splice_lambda(cfg, p4, lam_vpu, n_pad)
     out_vpu = pallas_pbf.project_pass(cfg, pT1, p4l, plan, mxu_proj=False)
     out_mxu = pallas_pbf.project_pass(cfg, pT1, p4l, plan, mxu_proj=True)
     ov = np.asarray(out_vpu)[:n, 0:3]

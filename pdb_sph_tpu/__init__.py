@@ -10,6 +10,7 @@ program, z-slab domain decomposition over a device mesh).
 """
 
 from .config import SimConfig, default_config, blowup_config, SCENES
+from .geometry import KernelGeometry, geometry_from_env
 from .state import SimState, StepDiagnostics, make_state
 from .models.scenes import spawn
 from .core.step import make_step, make_rollout, diagnostics_fn
@@ -18,6 +19,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "SimConfig",
+    "KernelGeometry",
+    "geometry_from_env",
     "SimState",
     "StepDiagnostics",
     "SCENES",

@@ -62,7 +62,7 @@ def step_fn(cfg: SimConfig, backend: str, state: SimState,
         # strictly after every real particle; payloads ride through the one
         # lax.sort instead of separate random gathers (cheaper on TPU)
         n = cfg.n
-        n_pad = pallas_pbf.pad_to_chunks(n)
+        n_pad = pallas_pbf.pad_to_chunks(cfg, n)
 
         def pad(arr, fill):
             shape = (n_pad - n,) + arr.shape[1:]
@@ -127,7 +127,7 @@ def diagnostics_fn(cfg: SimConfig, state: SimState) -> StepDiagnostics:
     from ..ops import pallas_pbf
 
     n = cfg.n
-    n_pad = pallas_pbf.pad_to_chunks(n)
+    n_pad = pallas_pbf.pad_to_chunks(cfg, n)
     cid_pad = jnp.concatenate(
         [cid, jnp.full((n_pad - n,), cfg.num_nb_cells, jnp.int32)]
     )

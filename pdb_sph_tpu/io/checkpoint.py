@@ -8,6 +8,7 @@ arrays; atomic rename makes partially-written files invisible.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import tempfile
@@ -16,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SimConfig
+from ..geometry import KernelGeometry
 from ..state import SimState
 
 _FORMAT_VERSION = 1
@@ -29,7 +31,9 @@ def save(path: str, cfg: SimConfig, state: SimState) -> None:
         "ids": np.asarray(state.ids),
         "step": np.asarray(state.step),
         "format_version": np.int32(_FORMAT_VERSION),
-        "config_json": np.bytes_(json.dumps(cfg.__dict__).encode()),
+        # asdict recurses into the nested KernelGeometry so the whole
+        # config (physics AND kernel geometry) round-trips as JSON
+        "config_json": np.bytes_(json.dumps(dataclasses.asdict(cfg)).encode()),
     }
     d = os.path.dirname(os.path.abspath(path))
     os.makedirs(d, exist_ok=True)
@@ -49,7 +53,10 @@ def load(path: str) -> tuple[SimConfig, SimState]:
         version = int(z["format_version"])
         if version != _FORMAT_VERSION:
             raise ValueError(f"unsupported checkpoint version {version}")
-        cfg = SimConfig(**json.loads(bytes(z["config_json"]).decode()))
+        cfg_dict = json.loads(bytes(z["config_json"]).decode())
+        if isinstance(cfg_dict.get("geom"), dict):
+            cfg_dict["geom"] = KernelGeometry(**cfg_dict["geom"])
+        cfg = SimConfig(**cfg_dict)
         state = SimState(
             x=jnp.asarray(z["x"]),
             v=jnp.asarray(z["v"]),

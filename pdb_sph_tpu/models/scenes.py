@@ -48,16 +48,22 @@ def dam_break(cfg: SimConfig, key: jax.Array) -> SimState:
 
 
 def blowup(cfg: SimConfig, key: jax.Array) -> SimState:
-    """All particles inside a 0.5-radius ball at the box center (README.md:13).
+    """All particles inside a wall/4-radius ball at the box center.
 
-    The density constraint saturates and the system explodes, then recovers
+    At the reference box (wall=2) that is exactly the README's 0.5-unit
+    radius (README.md:13). The density constraint saturates (~15x rest
+    density at n/wall^3 = 10k) and the system explodes, then recovers
     toward equilibrium — the reference's stress test for solver stability.
+    Box-relative like the other scenes: a scaled run (the 1M blowup row,
+    wall = 2*(n/80k)^(1/3)) reproduces the same 15x compression instead of
+    an ever-denser blob.
     """
     knorm, kr = jax.random.split(key)
     d = jax.random.normal(knorm, (cfg.n, 3), jnp.float32)
     d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
     # radius ~ U^(1/3) for uniform density in the ball
-    r = 0.5 * jax.random.uniform(kr, (cfg.n, 1), jnp.float32) ** (1.0 / 3.0)
+    r = (0.25 * cfg.wall
+         * jax.random.uniform(kr, (cfg.n, 1), jnp.float32) ** (1.0 / 3.0))
     center = jnp.full((3,), 0.5 * cfg.wall, jnp.float32)
     return make_state(center + d * r)
 

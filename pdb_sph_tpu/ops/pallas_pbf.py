@@ -35,13 +35,18 @@ constraint iterations ping-pong it against the (n_pad, 4) own-side layout
 with no scatters or gathers; lambda is spliced into row/column 3 between
 the two passes.
 
+ALL block geometry (own-chunk size, per-pass candidate widths, pipeline
+depth, plan capacity, chain counts, copy count, the MXU A/B knobs) lives
+in `cfg.geom`, a frozen `geometry.KernelGeometry` threaded like every
+other constant; the PBF_* env vars are construct-time defaults only.
+Measured defaults and their reasoning: geometry.py + docs/PERF.md.
+
 Perf history and rejected alternatives: docs/PERF.md.
 """
 
 from __future__ import annotations
 
 import functools
-import os
 from typing import NamedTuple
 
 import jax
@@ -50,166 +55,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import SimConfig
+from ..geometry import KernelGeometry
 from . import smoothing
 
-# Block geometry, env-overridable for autotuning sweeps.
-OWN = int(os.environ.get("PBF_OWN", "64"))    # own-chunk size (accum rows)
-CC = int(os.environ.get("PBF_CC", "384"))     # candidate-block lane width:
-                                              # round-2 hardware sweep under
-                                              # the odd-block epilogue found
-                                              # 384 > 256 > 512 (1.023x /
-                                              # 1.021x / 0.974x of baseline at
-                                              # 80k) — smaller blocks relieve
-                                              # accumulator vreg pressure
-                                              # (project keeps 3 (OWN,CC) f32
-                                              # accumulators live) and cut the
-                                              # SPB rounding waste; 128 is
-                                              # slower again (0.964x — the
-                                              # per-block overhead dominates)
-NBUF = int(os.environ.get("PBF_NBUF", "8"))   # DMA pipeline depth in BLOCKS:
-                                              # the 2 KiB segment copies are
-                                              # latency-bound and the loop
-                                              # consumes CHAINS blocks per
-                                              # iteration, so keep >= 2*CHAINS
-                                              # in flight
-GB = int(os.environ.get("PBF_GB", "16"))      # own-chunks per grid step
-                                              # (amortizes Mosaic's per-grid-
-                                              # step pipeline cost; the
-                                              # round-2 hardware sweep put
-                                              # NBUF=8 GB=16 ~1.3 ms/step
-                                              # ahead of round 1's 6/4 at
-                                              # 80k — docs/PERF.md)
-SEG = int(os.environ.get("PBF_SEG", "128"))   # candidate segment width: a
-                                              # multiple of the 128-lane Mosaic
-                                              # DMA alignment unit; larger SEG
-                                              # = fewer DMA issues but coarser
-                                              # window quantization
-# Per-pass candidate-block lane widths (round-3 lever, VERDICT r2 item 3):
-# the two passes keep different numbers of (OWN, CC) f32 accumulators live
-# (density 2, project 3), so their vector-register spill points — and hence
-# the optimal block width — need not match. The plan is SEG-granular and
-# stores the SEGMENT count, so both passes share one table and each derives
-# its own block count from its own SPB. Round-3 hardware sweep (80k dam
-# break, subprocess-per-config, docs/PERF.md): (D=384, P=256) 14.11 ms <
-# (384, 384) 15.53 < (512, 384) 15.69 < (512, 256) 16.49 — the project
-# pass wants the narrower block its third accumulator row demands, density
-# keeps 384. Defaults fall back to PBF_CC only when PBF_CC is set
-# explicitly (a shared-width sweep should move both passes together).
-_cc_env = "PBF_CC" in os.environ
-CC_D = int(os.environ.get("PBF_CC_D", str(CC)))
-CC_P = int(os.environ.get("PBF_CC_P", str(CC if _cc_env else 256)))
-SPB_D = CC_D // SEG                           # segments per density block
-SPB_P = CC_P // SEG                           # segments per project block
-MAXLANES = int(os.environ.get("PBF_MAXLANES", "31744"))
-                                              # per-own-chunk candidate-lane
-                                              # capacity. The default covers
-                                              # every reference-scale scene
-                                              # with ~10x headroom; extreme
-                                              # occupancy configs (1M+
-                                              # particles mid-collapse) raise
-                                              # it to keep plan_overflow == 0
-                                              # at the cost of a wider SMEM
-                                              # seg table + plan-build sort
-# per-own-chunk segment capacity, rounded to an even block count of BOTH
-# passes (so neither pass's final block indexes past the table; the pad
-# lanes hold the sentinel src as a second line of defense). Historical
-# note: the pre-epilogue loop padded odd counts to even; the rounding is
-# harmless now and keeps the table inside SEGW-1 slots.
-import math as _math
-_SPB_ROUND = 2 * _math.lcm(SPB_D, SPB_P)
-MAX_SEG = (MAXLANES // SEG) // _SPB_ROUND * _SPB_ROUND
-                                              # the ONLY plan capacity: total
-                                              # segments per own-chunk. There
-                                              # is deliberately no per-window
-                                              # cap — an earlier sort-based
-                                              # slot table needed one (KW) to
-                                              # bound its sort width, which
-                                              # (a) truncated single dense
-                                              # windows long before the total
-                                              # budget was spent (the 1M row
-                                              # overflowed at KW while its
-                                              # worst chunk used <14% of
-                                              # MAX_SEG) and (b) made the
-                                              # table build cost scale with
-                                              # 9*KW (18.4 ms/step at 1M with
-                                              # the capacity raised); the
-                                              # range-select build in
-                                              # build_plan has neither problem
-SEGW = max(256, -(-(MAX_SEG + 1) // 128) * 128)
-                                              # SMEM seg-table width (128-lane
-                                              # aligned); last lane holds T
-                                              # (candidate block count)
-CHAINS = int(os.environ.get("PBF_CHAINS", "3"))
-                                              # candidate blocks consumed per
-                                              # pair-loop iteration = number
-                                              # of independent compute chains
-                                              # Mosaic can interleave at issue
-                                              # throughput (see _pair_loop).
-                                              # At CC=512 two chains were the
-                                              # spill point; the CC=384 blocks
-                                              # fit three (hardware A/B: 3 ->
-                                              # 1.021-1.022x vs 2 -> 1.013x,
-                                              # 4 -> 1.003x)
-# Per-pass chain-count overrides: the two passes keep different numbers of
-# (OWN, CC) f32 accumulators live (density 2, project 3), so their vector-
-# register spill points differ and the optimal interleave depth need not
-# match. Defaults fall back to PBF_CHAINS.
-CHAINS_D = int(os.environ.get("PBF_CHAINS_D", str(CHAINS)))
-CHAINS_P = int(os.environ.get("PBF_CHAINS_P", str(CHAINS)))
-# Lane padding of each candidate copy beyond n_pad: the quantized windows
-# can read up to ~2*SEG past the last real lane, and a dead segment reads
-# [n_pad, n_pad + SEG); the widest pass's block width keeps every historical
-# layout identical when CC_D == CC_P == CC.
-CC_PAD = max(CC_D, CC_P, 2 * SEG)
-NCOPIES = int(os.environ.get("PBF_NCOPIES", "4"))
-                                              # shifted twin copies of the
-                                              # candidate stream: copy c holds
-                                              # particle lane L at array lane
-                                              # c*stride + c*QSHIFT + L, so a
-                                              # window start on the QSHIFT
-                                              # grid is 128-aligned in exactly
-                                              # one copy — cutting the ~64-lane
-                                              # average start-side rounding
-                                              # waste to QSHIFT/2 (measured
-                                              # accounting in docs/PERF.md)
-QSHIFT = SEG // NCOPIES                       # window-start quantization grid
-assert SEG % NCOPIES == 0, "PBF_NCOPIES must divide PBF_SEG"
-MXU_SUM = os.environ.get("PBF_MXU_SUM", "0") == "1"
-                                              # A/B knob: do the final
-                                              # (OWN, CC) -> (OWN, 1) lane
-                                              # reduction as an MXU matvec
-                                              # against ones (f32-exact via
-                                              # Precision.HIGHEST) instead of
-                                              # the VPU lane-shuffle sum
-                                              # (measured 5 ms/step WORSE —
-                                              # rejected, kept as doc)
-MXU_RD2 = os.environ.get("PBF_MXU_RD2", "0") == "1"
-                                              # A/B knob: density-pass rd2 via
-                                              # |pi|^2 - 2 pi.pj + |pj|^2 with
-                                              # the dot on the MXU at
-                                              # Precision.HIGH (3-pass bf16,
-                                              # ~1e-6 absolute error at |p|<=2
-                                              # vs h^2 = 1e-2; the 1-pass
-                                              # default's 5e-2 error broke
-                                              # settling and HIGHEST's 6-pass
-                                              # was slower than the VPU delta
-                                              # chain - docs/PERF.md).
-MXU_PROJ = os.environ.get("PBF_MXU_PROJ", "0") == "1"
-                                              # A/B knob: project pass on the
-                                              # MXU. With rd2 from the MXU the
-                                              # per-lane deltas are only needed
-                                              # for the final accumulation
-                                              # sum_j s*(pi-pj), which itself
-                                              # factors as pi*S - s@candT (S =
-                                              # row sum of s) — one
-                                              # (OWN,CC)@(CC,3) matmul per
-                                              # block instead of three
-                                              # s*d accumulator chains.
-                                              # Measured SLOWER than the VPU
-                                              # chain (654 vs 472 ns/blk,
-                                              # docs/PERF.md round-2 MXU
-                                              # closure) — kept only as
-                                              # executable documentation.
 # Padding position for pad/margin slots: far enough outside the domain that
 # rd2 >= h^2 against any real particle (so the min-clamp kills the pair), but
 # MODEST in magnitude: the project kernel accumulates s * dx per lane, where
@@ -241,8 +89,9 @@ class SegPlan(NamedTuple):
     n_overflow: jax.Array
 
 
-def pad_to_chunks(n: int) -> int:
-    return -(-n // (OWN * GB)) * (OWN * GB)
+def pad_to_chunks(cfg: SimConfig, n: int) -> int:
+    c = cfg.geom.chunk
+    return -(-n // c) * c
 
 
 # ---------------------------------------------------------------------------
@@ -259,12 +108,13 @@ def build_plan(cfg: SimConfig, sorted_cid: jax.Array) -> SegPlan:
     gathers) — together it cost more than a full constraint iteration. The
     two sort-based replacements below run in ~0.5 ms total (docs/PERF.md).
     """
+    g = cfg.geom
     n_pad = sorted_cid.shape[0]
-    num_chunks = n_pad // OWN
+    num_chunks = n_pad // g.own
     w = cfg.nb_grid_width
     ncells = cfg.num_nb_cells
 
-    chunk_cid = sorted_cid[: num_chunks * OWN].reshape(num_chunks, OWN)
+    chunk_cid = sorted_cid[: num_chunks * g.own].reshape(num_chunks, g.own)
     c_first = chunk_cid[:, 0]                                   # (num_chunks,)
     # A mixed chunk (real head, padding/parked tail) must plan its windows
     # from its real span ONLY: clamping a padding c_last (== num_nb_cells) to
@@ -320,11 +170,13 @@ def build_plan(cfg: SimConfig, sorted_cid: jax.Array) -> SegPlan:
     # inter-window-gap / out-of-stencil particle (>= one cell == h away, so
     # the rd2 clamp kills the pair) or a sentinel pad slot — the same
     # argument as the round-1 quantize-then-cummax scheme, at finer grain.
+    qshift, seg = g.qshift, g.seg
+
     def dedup_q(carry, se):
         s, e = se
         s2 = jnp.maximum(s, carry)
-        qs = jnp.maximum((s2 // QSHIFT) * QSHIFT, carry)
-        ln = jnp.where(e > s2, -(-(e - qs) // SEG) * SEG, 0)
+        qs = jnp.maximum((s2 // qshift) * qshift, carry)
+        ln = jnp.where(e > s2, -(-(e - qs) // seg) * seg, 0)
         qe = qs + ln
         return qe, (qs, qe)
 
@@ -340,12 +192,12 @@ def build_plan(cfg: SimConfig, sorted_cid: jax.Array) -> SegPlan:
     # and their windows would otherwise span the entire inactive block
     # (large in the sharded path), wasting lanes and faking overflow.
     is_pad = (c_first >= jnp.int32(ncells))[:, None]
-    k = jnp.where(is_pad, 0, (qe - qs) // SEG)                   # segs/window
+    k = jnp.where(is_pad, 0, (qe - qs) // seg)                   # segs/window
     cum = jnp.cumsum(k, axis=1)                                  # (num_chunks, 9)
-    total = jnp.minimum(cum[:, -1], MAX_SEG)
+    total = jnp.minimum(cum[:, -1], g.max_seg)
     # Only the TOTAL per-chunk budget can truncate (counted per chunk before
     # summing so the int32 sum stays small even in pathological configs).
-    n_overflow = (jnp.sum(cum[:, -1] - total) * SEG).astype(jnp.int32)
+    n_overflow = (jnp.sum(cum[:, -1] - total) * seg).astype(jnp.int32)
 
     # Flat slot table by nine range-selects: window w owns the contiguous
     # slot run [cum0[w], cum[w]), so slot s maps to src0[w] + (s-cum0[w])*SEG
@@ -353,28 +205,28 @@ def build_plan(cfg: SimConfig, sorted_cid: jax.Array) -> SegPlan:
     # outside [0, total) keeps the sentinel-zone src (n_pad is 128-aligned:
     # pad_to_chunks rounds to OWN*GB). An earlier build flattened a
     # (nc, 9, KW) expansion through lax.sort instead; its cost scaled with
-    # the per-window cap KW (~18 ms/step at 1M with PBF_MAXLANES=131072) —
+    # the per-window cap KW (~18 ms/step at 1M with maxlanes=131072) —
     # the selects touch (nc, MAX_SEG) once per window and cost ~nothing.
     # A window starting at particle lane qs lives in the copy whose forward
     # shift CANCELS qs's SEG-residue: cshift = (SEG - qs % SEG) % SEG
     # (= c * QSHIFT), so the array offset c*stride + cshift + qs is
     # 128-aligned by construction; all its segments stay inside that copy.
-    stride = jnp.int32(n_pad + CC_PAD)
-    cshift = (SEG - qs % SEG) % SEG
-    src0 = (cshift // QSHIFT) * stride + cshift + qs             # (nc, 9)
+    stride = jnp.int32(n_pad + g.cc_pad)
+    cshift = (seg - qs % seg) % seg
+    src0 = (cshift // qshift) * stride + cshift + qs             # (nc, 9)
     cum0 = jnp.concatenate(
         [jnp.zeros((num_chunks, 1), jnp.int32), cum[:, :8]], axis=1)
-    s_idx = jnp.arange(MAX_SEG, dtype=jnp.int32)[None, :]        # (1, MAX_SEG)
-    src = jnp.full((num_chunks, MAX_SEG), jnp.int32(n_pad))
-    for w in range(9):
-        lo = cum0[:, w:w + 1]
-        sel = (lo <= s_idx) & (s_idx < cum[:, w:w + 1])
-        src = jnp.where(sel, src0[:, w:w + 1] + (s_idx - lo) * SEG, src)
+    s_idx = jnp.arange(g.max_seg, dtype=jnp.int32)[None, :]     # (1, MAX_SEG)
+    src = jnp.full((num_chunks, g.max_seg), jnp.int32(n_pad))
+    for w_ in range(9):
+        lo = cum0[:, w_:w_ + 1]
+        sel = (lo <= s_idx) & (s_idx < cum[:, w_:w_ + 1])
+        src = jnp.where(sel, src0[:, w_:w_ + 1] + (s_idx - lo) * seg, src)
 
     # pad lanes carry the sentinel src too: a partial final block of a pass
     # whose SPB doesn't divide the slot count reads past MAX_SEG, and a zero
     # there would stream REAL particles from lane 0 into the wrong stencil
-    pad_lanes = jnp.full((num_chunks, SEGW - MAX_SEG - 1), jnp.int32(n_pad))
+    pad_lanes = jnp.full((num_chunks, g.segw - g.max_seg - 1), jnp.int32(n_pad))
     seg_src = jnp.concatenate(
         [src, pad_lanes, total[:, None]], axis=1
     )[:, None, :]
@@ -382,7 +234,7 @@ def build_plan(cfg: SimConfig, sorted_cid: jax.Array) -> SegPlan:
     return SegPlan(seg_src=seg_src, n_overflow=n_overflow)
 
 
-def restrict_plan(plan: SegPlan, keep: jax.Array) -> SegPlan:
+def restrict_plan(cfg: SimConfig, plan: SegPlan, keep: jax.Array) -> SegPlan:
     """Zero the candidate-block count of every own-chunk with keep[c] ==
     False, leaving the shared segment table untouched.
 
@@ -403,38 +255,41 @@ def restrict_plan(plan: SegPlan, keep: jax.Array) -> SegPlan:
     slicing/gather semantics are unchanged. `_pair_loop` sees a zero block
     count: no DMA is issued and no pair math runs for the chunk.
     """
-    total = plan.seg_src[:, :, SEGW - 1]
+    segw = cfg.geom.segw
+    total = plan.seg_src[:, :, segw - 1]
     masked = jnp.where(keep[:, None], total, 0)
     seg_src = jax.lax.dynamic_update_slice(
-        plan.seg_src, masked[:, :, None], (0, 0, SEGW - 1))
+        plan.seg_src, masked[:, :, None], (0, 0, segw - 1))
     return SegPlan(seg_src=seg_src, n_overflow=plan.n_overflow)
 
 
-def cand_width(n_pad: int) -> int:
+def cand_width(cfg: SimConfig, n_pad: int) -> int:
     """Total lane width of the candidate array: NCOPIES shifted copies of
     stride (n_pad + CC_PAD) lanes each."""
-    return NCOPIES * (n_pad + CC_PAD)
+    g = cfg.geom
+    return g.ncopies * (n_pad + g.cc_pad)
 
 
-def _p4_from_pT(pT: jax.Array) -> jax.Array:
+def _p4_from_pT(cfg: SimConfig, pT: jax.Array) -> jax.Array:
     """(n_pad, 4) own-layout -> (4, NCOPIES * stride) candidate rows
     (x, y, z, lambda): copy c holds particle lane L at array lane
     c*stride + c*QSHIFT + L, sentinel everywhere else (lambda 0 there).
     One fused XLA transpose+broadcast per solver iteration (~MBs of HBM
     traffic) buys zero in-kernel relayouts: a transpose inside the kernel
     costs ~2.5 us flat on the VPU."""
+    g = cfg.geom
     n_pad = pT.shape[0]
-    stride = n_pad + CC_PAD
-    p4 = jnp.full((4, NCOPIES * stride), SENTINEL, jnp.float32)
+    stride = n_pad + g.cc_pad
+    p4 = jnp.full((4, g.ncopies * stride), SENTINEL, jnp.float32)
     pt = pT.T
-    for c in range(NCOPIES):
-        base = c * stride + c * QSHIFT
+    for c in range(g.ncopies):
+        base = c * stride + c * g.qshift
         p4 = jax.lax.dynamic_update_slice(p4, pt, (0, base))
     # lambda row: zero on every non-particle lane (margins stream with the
     # windows; a clamped dead lane's u^2 residual times a huge lambda would
     # otherwise leak ~1e-13-scale drift into the projection sums)
-    lane = jnp.arange(NCOPIES * stride, dtype=jnp.int32)
-    off = lane % stride - (lane // stride) * QSHIFT
+    lane = jnp.arange(g.ncopies * stride, dtype=jnp.int32)
+    off = lane % stride - (lane // stride) * g.qshift
     is_particle = (off >= 0) & (off < n_pad)
     return p4.at[3].set(jnp.where(is_particle, p4[3], 0.0))
 
@@ -460,9 +315,9 @@ def _dot3(ah, al, bh, bl, dims) -> jax.Array:
     return d(ah, bh) + (d(ah, bl) + d(al, bh))
 
 
-def _ksum(acc: jax.Array) -> jax.Array:
+def _ksum(geom: KernelGeometry, acc: jax.Array) -> jax.Array:
     """(OWN, CC) accumulator -> (OWN, 1) row sums."""
-    if MXU_SUM:
+    if geom.mxu_sum:
         ones = jnp.ones((acc.shape[1], 1), jnp.float32)
         return jax.lax.dot_general(
             acc, ones, (((1,), (0,)), ((), ())),
@@ -470,12 +325,13 @@ def _ksum(acc: jax.Array) -> jax.Array:
         )
     return jnp.sum(acc, axis=1, keepdims=True)
 
+
 def _tree_add(a, b):
     return jax.tree_util.tree_map(jnp.add, a, b)
 
 
-def _pair_loop(segs_ref, hbm_ref, buf, sem, term_fn, init, g: int = 0,
-               chains: int = CHAINS, spb: int = SPB_D):
+def _pair_loop(geom: KernelGeometry, segs_ref, hbm_ref, buf, sem, term_fn,
+               init, g: int, chains: int, spb: int):
     """Shared pipelined candidate streaming loop for own-chunk g.
 
     term_fn(cand) -> pytree of (OWN, CC_pass) partial terms for one
@@ -489,7 +345,7 @@ def _pair_loop(segs_ref, hbm_ref, buf, sem, term_fn, init, g: int = 0,
     *latency* (~350 ns/block measured); independent chains interleave at
     issue throughput (~100-120 ns/block). CHAINS=2 was optimal at CC=512
     (four chains spilled vector registers and got slower); the knob is
-    env-tunable because the spill point moves with CC. The ring slots are
+    per-geometry because the spill point moves with CC. The ring slots are
     dynamic indices; static-slot variants (full NBUF rounds, or a
     lax.switch over slot tuples) both measured SLOWER than paying
     buf[slot]'s dynamic-slice tax (docs/PERF.md).
@@ -502,29 +358,30 @@ def _pair_loop(segs_ref, hbm_ref, buf, sem, term_fn, init, g: int = 0,
     exists at this level — the plan guarantees every lane is either a
     once-counted candidate or a pair the rd2 clamp kills.
     """
-    total = (segs_ref[0, g, SEGW - 1] + spb - 1) // spb   # blocks this pass
+    segw, seg, nbuf = geom.segw, geom.seg, geom.nbuf
+    total = (segs_ref[0, g, segw - 1] + spb - 1) // spb   # blocks this pass
     iters = total // chains
 
     def issue(slot, t):
         for j in range(spb):
-            src = pl.multiple_of(segs_ref[0, g, t * spb + j], SEG)
+            src = pl.multiple_of(segs_ref[0, g, t * spb + j], seg)
             pltpu.make_async_copy(
-                hbm_ref.at[:, pl.ds(src, SEG)],
-                buf.at[slot, :, pl.ds(j * SEG, SEG)],
+                hbm_ref.at[:, pl.ds(src, seg)],
+                buf.at[slot, :, pl.ds(j * seg, seg)],
                 sem.at[slot, j],
             ).start()
 
     def wait(slot):
         for j in range(spb):
             pltpu.make_async_copy(
-                hbm_ref.at[:, pl.ds(0, SEG)],
-                buf.at[slot, :, pl.ds(j * SEG, SEG)],
+                hbm_ref.at[:, pl.ds(0, seg)],
+                buf.at[slot, :, pl.ds(j * seg, seg)],
                 sem.at[slot, j],
             ).wait()
 
     # (NBUF-chains)-block lookahead prologue: the copies are ~2 KiB, so
     # completion is dominated by DMA latency, not bandwidth.
-    for t in range(NBUF - chains):
+    for t in range(nbuf - chains):
         @pl.when(t < total)
         def _(t=t):
             issue(t, t)
@@ -532,14 +389,14 @@ def _pair_loop(segs_ref, hbm_ref, buf, sem, term_fn, init, g: int = 0,
     def body(i, acc):
         ta = i * chains
         for c in range(chains):
-            @pl.when(ta + NBUF - chains + c < total)
+            @pl.when(ta + nbuf - chains + c < total)
             def _(c=c):
-                issue(jax.lax.rem(ta + NBUF - chains + c, NBUF),
-                      ta + NBUF - chains + c)
+                issue(jax.lax.rem(ta + nbuf - chains + c, nbuf),
+                      ta + nbuf - chains + c)
 
         slots = []
         for c in range(chains):
-            slot = jax.lax.rem(ta + c, NBUF)
+            slot = jax.lax.rem(ta + c, nbuf)
             wait(slot)
             slots.append(slot)
         terms = [term_fn(buf[slot]) for slot in slots]
@@ -556,7 +413,7 @@ def _pair_loop(segs_ref, hbm_ref, buf, sem, term_fn, init, g: int = 0,
     for k in range(chains - 1):
         def tail(acc, k=k):
             idx = iters * chains + k
-            slot = jax.lax.rem(idx, NBUF)
+            slot = jax.lax.rem(idx, nbuf)
             wait(slot)
             return _tree_add(acc, term_fn(buf[slot]))
 
@@ -564,9 +421,10 @@ def _pair_loop(segs_ref, hbm_ref, buf, sem, term_fn, init, g: int = 0,
     return acc
 
 
-def _density_kernel(cfg: SimConfig, segs_ref, own_ref, hbm_ref, lam_ref,
-                    buf, sem, mxu_rd2: bool = MXU_RD2,
-                    chains: int = CHAINS_D):
+def _density_kernel(cfg: SimConfig, mxu_rd2: bool, chains: int,
+                    segs_ref, own_ref, hbm_ref, lam_ref, buf, sem):
+    geom = cfg.geom
+    own, cc = geom.own, geom.cc_d
     h = jnp.float32(cfg.h)
     h2 = jnp.float32(cfg.h2)
     eps = jnp.float32(EPS)
@@ -579,8 +437,8 @@ def _density_kernel(cfg: SimConfig, segs_ref, own_ref, hbm_ref, lam_ref,
     # coefficient) are applied once after the stream loop. The max-at-EPS
     # floor keeps the self pair (rd2 == 0) finite through rsqrt. r is
     # rd2 * rsqrt(rd2): sqrt costs ~2x rsqrt+mul on the VPU.
-    for g in range(GB):
-        sl = slice(g * OWN, (g + 1) * OWN)
+    for g in range(geom.gb):
+        sl = slice(g * own, (g + 1) * own)
         ox = own_ref[sl, 0:1]                 # (OWN, 1) — no relayout: the
         oy = own_ref[sl, 1:2]                 # own side rides in the
         oz = own_ref[sl, 2:3]                 # transposed (n_pad, 4)
@@ -607,18 +465,19 @@ def _density_kernel(cfg: SimConfig, segs_ref, own_ref, hbm_ref, lam_ref,
             u2 = u * u
             return t2 * t, (u2 * u2) * rd2
 
-        zero = jnp.zeros((OWN, CC_D), jnp.float32)
-        rho_b, g2_b = _pair_loop(segs_ref, hbm_ref, buf, sem, one,
+        zero = jnp.zeros((own, cc), jnp.float32)
+        rho_b, g2_b = _pair_loop(geom, segs_ref, hbm_ref, buf, sem, one,
                                  (zero, zero), g=g, chains=chains,
-                                 spb=SPB_D)
-        rho = jnp.float32(cfg.poly6_coeff) * _ksum(rho_b)
-        g2 = l2 * _ksum(g2_b)
+                                 spb=geom.spb_d)
+        rho = jnp.float32(cfg.poly6_coeff) * _ksum(geom, rho_b)
+        g2 = l2 * _ksum(geom, g2_b)
         lam_ref[sl, :] = smoothing.lambda_from_sums(cfg, rho, g2)
 
 
-def _project_kernel(cfg: SimConfig, segs_ref, own_ref, hbm_ref, out_ref,
-                    buf, sem, mxu_proj: bool = MXU_PROJ,
-                    chains: int = CHAINS_P):
+def _project_kernel(cfg: SimConfig, mxu_proj: bool, chains: int,
+                    segs_ref, own_ref, hbm_ref, out_ref, buf, sem):
+    geom = cfg.geom
+    own, cc = geom.own, geom.cc_p
     h = jnp.float32(cfg.h)
     h2 = jnp.float32(cfg.h2)
     eps = jnp.float32(EPS)
@@ -636,8 +495,8 @@ def _project_kernel(cfg: SimConfig, segs_ref, own_ref, hbm_ref, out_ref,
     # identically — same behavior as smoothing.delta_p_scale. Dead lanes
     # have u == 0 via the min clamp, so s == 0 and the accumulations stay
     # finite even against sentinel positions.
-    for g in range(GB):
-        sl = slice(g * OWN, (g + 1) * OWN)
+    for g in range(geom.gb):
+        sl = slice(g * own, (g + 1) * own)
         ox = own_ref[sl, 0:1]                 # (OWN, 1), transposed layout
         oy = own_ref[sl, 1:2]
         oz = own_ref[sl, 2:3]
@@ -653,13 +512,13 @@ def _project_kernel(cfg: SimConfig, segs_ref, own_ref, hbm_ref, out_ref,
             s = (u * u) * (olam + cand[3:4, :])       # (OWN, CC)
             return s * dx, s * dy, s * dz
 
-        zero = jnp.zeros((OWN, CC_P), jnp.float32)
-        dpx_b, dpy_b, dpz_b = _pair_loop(segs_ref, hbm_ref, buf, sem,
+        zero = jnp.zeros((own, cc), jnp.float32)
+        dpx_b, dpy_b, dpz_b = _pair_loop(geom, segs_ref, hbm_ref, buf, sem,
                                          one, (zero, zero, zero), g=g,
-                                         chains=chains, spb=SPB_P)
-        out_ref[sl, 0:1] = ox + k_proj * _ksum(dpx_b)
-        out_ref[sl, 1:2] = oy + k_proj * _ksum(dpy_b)
-        out_ref[sl, 2:3] = oz + k_proj * _ksum(dpz_b)
+                                         chains=chains, spb=geom.spb_p)
+        out_ref[sl, 0:1] = ox + k_proj * _ksum(geom, dpx_b)
+        out_ref[sl, 1:2] = oy + k_proj * _ksum(geom, dpy_b)
+        out_ref[sl, 2:3] = oz + k_proj * _ksum(geom, dpz_b)
         out_ref[sl, 3:4] = olam - s_corr
 
 
@@ -678,16 +537,20 @@ def _project_kernel_mxu(cfg: SimConfig, segs_ref, own_ref, hbm_ref, out_ref,
     boundary misclassification carries vanishing weight; the self pair no
     longer cancels bit-exactly but to ~1e-10 (s_self ~ h^2*2*lambda times
     the dot's rounding on |p| <= 2). Validated by the pallas==cell parity
-    tests and the hardware settle gate.
+    tests and the hardware settle gate. Measured SLOWER than the VPU chain
+    (654 vs 472 ns/blk, docs/PERF.md round-2 MXU closure) — kept only as
+    executable documentation behind geom.mxu_proj.
     """
+    geom = cfg.geom
+    own, cc = geom.own, geom.cc_p
     h = jnp.float32(cfg.h)
     h2 = jnp.float32(cfg.h2)
     eps = jnp.float32(EPS)
     k_proj = jnp.float32(-cfg.spiky_grad_coeff * cfg.inv_rho0)
     s_corr = jnp.float32(cfg.s_corr)
 
-    for g in range(GB):
-        sl = slice(g * OWN, (g + 1) * OWN)
+    for g in range(geom.gb):
+        sl = slice(g * own, (g + 1) * own)
         own3 = own_ref[sl, 0:3]                          # (OWN, 3)
         ox = own_ref[sl, 0:1]
         oy = own_ref[sl, 1:2]
@@ -710,10 +573,11 @@ def _project_kernel_mxu(cfg: SimConfig, segs_ref, own_ref, hbm_ref, out_ref,
             return s, sp
 
         acc_s, acc_p = _pair_loop(
-            segs_ref, hbm_ref, buf, sem, one,
-            (jnp.zeros((OWN, CC_P), jnp.float32),
-             jnp.zeros((OWN, 3), jnp.float32)), g=g, spb=SPB_P)
-        S = _ksum(acc_s)                                 # (OWN, 1)
+            geom, segs_ref, hbm_ref, buf, sem, one,
+            (jnp.zeros((own, cc), jnp.float32),
+             jnp.zeros((own, 3), jnp.float32)), g=g, chains=geom.chains_p,
+            spb=geom.spb_p)
+        S = _ksum(geom, acc_s)                           # (OWN, 1)
         out_ref[sl, 0:3] = own3 + k_proj * (own3 * S - acc_p)
         out_ref[sl, 3:4] = olam - s_corr
 
@@ -722,64 +586,74 @@ def _project_kernel_mxu(cfg: SimConfig, segs_ref, own_ref, hbm_ref, out_ref,
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
 
-def _common_specs(cc: int, spb: int):
-    seg_spec = pl.BlockSpec((1, GB, SEGW), lambda i: (i, 0, 0),
+def _common_specs(geom: KernelGeometry, cc: int, spb: int):
+    seg_spec = pl.BlockSpec((1, geom.gb, geom.segw), lambda i: (i, 0, 0),
                             memory_space=pltpu.SMEM)
-    own_spec = pl.BlockSpec((GB * OWN, 4), lambda i: (i, 0),
+    own_spec = pl.BlockSpec((geom.chunk, 4), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     hbm_spec = pl.BlockSpec(memory_space=pl.ANY)
     scratch = [
-        pltpu.VMEM((NBUF, 4, cc), jnp.float32),
-        pltpu.SemaphoreType.DMA((NBUF, spb)),
+        pltpu.VMEM((geom.nbuf, 4, cc), jnp.float32),
+        pltpu.SemaphoreType.DMA((geom.nbuf, spb)),
     ]
     return seg_spec, own_spec, hbm_spec, scratch
 
 
-def _segs_batched(plan: SegPlan):
+def _segs_batched(geom: KernelGeometry, plan: SegPlan):
     """(num_chunks, 1, SEGW) -> (num_chunks/GB, GB, SEGW)."""
     a = plan.seg_src
-    return a.reshape(a.shape[0] // GB, GB, SEGW)
+    return a.reshape(a.shape[0] // geom.gb, geom.gb, geom.segw)
 
 
 def density_pass(cfg: SimConfig, pT: jax.Array, cand: jax.Array,
                  plan: SegPlan, interpret: bool = False,
-                 mxu_rd2: bool = MXU_RD2,
-                 chains: int = CHAINS_D) -> jax.Array:
+                 mxu_rd2: bool | None = None,
+                 chains: int | None = None) -> jax.Array:
     """(pT (n_pad, 4), cand (4, width) rows x,y,z,lambda) -> lambda (n_pad, 1)."""
+    geom = cfg.geom
+    if mxu_rd2 is None:
+        mxu_rd2 = geom.mxu_rd2
+    if chains is None:
+        chains = geom.chains_d
     n_pad = pT.shape[0]
-    seg_spec, own_spec, hbm_spec, scratch = _common_specs(CC_D, SPB_D)
+    seg_spec, own_spec, hbm_spec, scratch = _common_specs(
+        geom, geom.cc_d, geom.spb_d)
     return pl.pallas_call(
-        functools.partial(_density_kernel, cfg, mxu_rd2=mxu_rd2,
-                          chains=chains),
-        grid=(n_pad // (OWN * GB),),
+        functools.partial(_density_kernel, cfg, mxu_rd2, chains),
+        grid=(n_pad // geom.chunk,),
         in_specs=[seg_spec, own_spec, hbm_spec],
-        out_specs=pl.BlockSpec((GB * OWN, 1), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((geom.chunk, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(_segs_batched(plan), pT, cand)
+    )(_segs_batched(geom, plan), pT, cand)
 
 
 def project_pass(cfg: SimConfig, pT: jax.Array, cand: jax.Array,
                  plan: SegPlan, interpret: bool = False,
-                 mxu_proj: bool = MXU_PROJ,
-                 chains: int = CHAINS_P) -> jax.Array:
+                 mxu_proj: bool | None = None,
+                 chains: int | None = None) -> jax.Array:
     """(pT with lambda column, cand (4, width) rows x,y,z,lambda) ->
     new pT (n_pad, 4)."""
+    geom = cfg.geom
+    if mxu_proj is None:
+        mxu_proj = geom.mxu_proj
+    if chains is None:
+        chains = geom.chains_p
     n_pad = pT.shape[0]
-    seg_spec, own_spec, hbm_spec, scratch = _common_specs(CC_P, SPB_P)
+    seg_spec, own_spec, hbm_spec, scratch = _common_specs(
+        geom, geom.cc_p, geom.spb_p)
     return pl.pallas_call(
-        functools.partial(_project_kernel, cfg, mxu_proj=mxu_proj,
-                          chains=chains),
-        grid=(n_pad // (OWN * GB),),
+        functools.partial(_project_kernel, cfg, mxu_proj, chains),
+        grid=(n_pad // geom.chunk,),
         in_specs=[seg_spec, own_spec, hbm_spec],
-        out_specs=pl.BlockSpec((GB * OWN, 4), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((geom.chunk, 4), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(_segs_batched(plan), pT, cand)
+    )(_segs_batched(geom, plan), pT, cand)
 
 
 def make_pT(cfg: SimConfig, p_sorted: jax.Array, n_pad: int) -> jax.Array:
@@ -791,32 +665,38 @@ def make_pT(cfg: SimConfig, p_sorted: jax.Array, n_pad: int) -> jax.Array:
     return pT.at[:, 3].set(0.0)
 
 
-def splice_lambda(p4: jax.Array, lam: jax.Array, n_pad: int) -> jax.Array:
+def splice_lambda(cfg: SimConfig, p4: jax.Array, lam: jax.Array,
+                  n_pad: int) -> jax.Array:
     """Write the freshly computed lambda column into row 3 of every shifted
     candidate copy (positions are already there from _p4_from_pT)."""
-    stride = n_pad + CC_PAD
+    g = cfg.geom
+    stride = n_pad + g.cc_pad
     lam_t = lam.T
-    for c in range(NCOPIES):
+    for c in range(g.ncopies):
         p4 = jax.lax.dynamic_update_slice(
-            p4, lam_t, (3, c * stride + c * QSHIFT))
+            p4, lam_t, (3, c * stride + c * g.qshift))
     return p4
 
 
 def solve_pallas(cfg: SimConfig, p_sorted: jax.Array, sorted_cid_pad: jax.Array,
-                 interpret: bool = False) -> jax.Array:
+                 interpret: bool = False,
+                 plan: SegPlan | None = None) -> jax.Array:
     """The full solver_iters-iteration Jacobi constraint solve. p_sorted
     (n, 3) sorted by cell id; sorted_cid_pad (n_pad,) with padding =
-    num_nb_cells."""
+    num_nb_cells. Pass `plan` when the caller already built it from the
+    same sorted cell ids (e.g. for its overflow counter) so the step does
+    one build_plan, not two."""
     n = p_sorted.shape[0]
-    n_pad = pad_to_chunks(n)
-    plan = build_plan(cfg, sorted_cid_pad)
+    n_pad = pad_to_chunks(cfg, n)
+    if plan is None:
+        plan = build_plan(cfg, sorted_cid_pad)
     pT = make_pT(cfg, p_sorted, n_pad)
 
     def body(_, pT):
-        p4 = _p4_from_pT(pT)
+        p4 = _p4_from_pT(cfg, pT)
         lam = density_pass(cfg, pT, p4, plan, interpret=interpret)
         pT = jax.lax.dynamic_update_slice(pT, lam, (0, 3))
-        p4 = splice_lambda(p4, lam, n_pad)
+        p4 = splice_lambda(cfg, p4, lam, n_pad)
         return project_pass(cfg, pT, p4, plan, interpret=interpret)
 
     pT = jax.lax.fori_loop(0, cfg.solver_iters, body, pT)

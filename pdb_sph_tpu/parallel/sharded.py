@@ -125,9 +125,24 @@ class ParallelConfig:
         oversizing is paid every step in wire bytes AND sort/stream lanes —
         round 3 measured ghost_capacity = capacity at 5.5x the true 1M
         collapse maximum (docs/SCALING.md). Truncation stays loud: the
-        ghost/migration overflow counters report any slack violation.
-        Without a state both fall back to the conservative round-2 sizing
-        (ghost = capacity, migration = capacity/2).
+        ghost/migration overflow counters report any slack violation, and
+        make_sharded_rollout SUMS them over every step of a chunk so a
+        transient violation cannot hide.
+
+        CAVEAT (advisor, round 3): the measurement is taken from the state
+        passed HERE — typically the spawn — while collapse concentrates
+        particles into fewer z-rows and the boundaries drift, so runtime
+        boundary-row populations can exceed the spawn-time numbers. The
+        default slacks (2.5x ghosts / 3.0x migration) absorbed the worst
+        drift observed over the 240-step 1M collapse
+        (benchmarks/OCC_1M_BALANCED.json: max ghosts/side 90,691 vs
+        ghost_capacity 212k at spawn sizing) but are validated for the
+        dam-break family only; for a novel scene either pass a
+        representative worst-case `state` (e.g. from a short calibration
+        rollout) or keep the overflow counters gating the run, as the CLI
+        and the soak test do. Without a state both capacities fall back to
+        the conservative round-2 sizing (ghost = capacity, migration =
+        capacity/2), which cannot truncate.
         """
         if n_devices == 1:
             # degenerate mesh: no imbalance, no neighbors to exchange with —
@@ -409,7 +424,16 @@ def _solve_pallas(cfg, cap: int, p, last, active, exchange_ghosts, ghosts0,
     the rest removes the dominant redundant pair math of the decomposition
     — at the 1M x 8 flagship the per-shard own+ghost row count drops from
     ~2.4x own (both passes) to ~1.7x (density) + 1.0x (project); measured
-    numbers in docs/SCALING.md. Returns (p_solved, plan_overflow)."""
+    numbers in docs/SCALING.md.
+
+    Multi-hop transit semantics: an own particle whose predicted cell lies
+    OUTSIDE [lo, hi) — it crossed 2+ slabs in one step, was migrated one
+    hop, and still isn't home — falls in a project-masked chunk and
+    receives zero delta-p for that step (it rejoins the solve next step
+    after the second hop). The sender counts every such particle in
+    mig_overflow, so validation gates that assert mig_overflow == 0 (the
+    soak test, the dryrun) also certify that no particle ever skipped a
+    projection. Returns (p_solved, plan_overflow)."""
     from ..ops import pallas_pbf
 
     if ghosts0 is not None:
@@ -419,7 +443,7 @@ def _solve_pallas(cfg, cap: int, p, last, active, exchange_ghosts, ghosts0,
         combined0 = p
         combined_ok = active
     n_loc = combined0.shape[0]
-    n_pad = pallas_pbf.pad_to_chunks(n_loc)
+    n_pad = pallas_pbf.pad_to_chunks(cfg, n_loc)
 
     cid = jnp.where(
         combined_ok, hashgrid.cell_ids(cfg, combined0), cfg.num_nb_cells
@@ -436,14 +460,14 @@ def _solve_pallas(cfg, cap: int, p, last, active, exchange_ghosts, ghosts0,
     if z_bounds is not None:
         lo, hi = z_bounds
         w2 = cfg.nb_grid_width * cfg.nb_grid_width
-        zc = sorted_cid.reshape(-1, pallas_pbf.OWN) // w2
+        zc = sorted_cid.reshape(-1, cfg.geom.own) // w2
         # density: own rows + one INNER ghost row per side (its lambda is
         # read by boundary own rows); project: own rows only. Mixed chunks
         # at a zone edge stay live for both passes via the any().
         plan_d = pallas_pbf.restrict_plan(
-            plan, ((zc >= lo - 1) & (zc < hi + 1)).any(axis=1))
+            cfg, plan, ((zc >= lo - 1) & (zc < hi + 1)).any(axis=1))
         plan_p = pallas_pbf.restrict_plan(
-            plan, ((zc >= lo) & (zc < hi)).any(axis=1))
+            cfg, plan, ((zc >= lo) & (zc < hi)).any(axis=1))
 
     pad_tail = jnp.full((n_pad - n_loc, 3), pallas_pbf.SENTINEL, jnp.float32)
     # inactive entries carry this module's far-out sentinel (1e9); remap them
@@ -465,11 +489,11 @@ def _solve_pallas(cfg, cap: int, p, last, active, exchange_ghosts, ghosts0,
         p_sorted = jnp.where(ok_sorted, p_sorted, pallas_pbf.SENTINEL)
         pT = jnp.concatenate(
             [p_sorted, jnp.zeros((n_pad, 1), jnp.float32)], axis=1)
-        p4 = pallas_pbf._p4_from_pT(pT)
+        p4 = pallas_pbf._p4_from_pT(cfg, pT)
         lam = pallas_pbf.density_pass(cfg, pT, p4, plan_d,
                                       interpret=interpret)
         pT = jax.lax.dynamic_update_slice(pT, lam, (0, 3))
-        p4 = pallas_pbf.splice_lambda(p4, lam, n_pad)
+        p4 = pallas_pbf.splice_lambda(cfg, p4, lam, n_pad)
         outT = pallas_pbf.project_pass(cfg, pT, p4, plan_p,
                                        interpret=interpret)
         dp_sorted = outT[:, 0:3] - p_sorted
@@ -495,7 +519,7 @@ def _step_single_pallas(cfg: SimConfig, pcfg: ParallelConfig,
     active = ids >= 0
     p, _ = predict(cfg, x, v)
     cid = jnp.where(active, hashgrid.cell_ids(cfg, p), cfg.num_nb_cells)
-    n_pad = pallas_pbf.pad_to_chunks(cap)
+    n_pad = pallas_pbf.pad_to_chunks(cfg, cap)
 
     def pad(arr, fill):
         shape = (n_pad - cap,) + arr.shape[1:]
@@ -520,10 +544,13 @@ def _step_single_pallas(cfg: SimConfig, pcfg: ParallelConfig,
     last_s = jnp.stack(sorted_ops[4:7], axis=1)[:cap]
     ids_s = sorted_ops[7][:cap]
     active_s = ids_s >= 0
-    plan_overflow = pallas_pbf.build_plan(cfg, sorted_cid_pad).n_overflow
+    # one plan per step: solve_pallas reuses it instead of rebuilding
+    # (VERDICT round 3, weak #4)
+    plan = pallas_pbf.build_plan(cfg, sorted_cid_pad)
+    plan_overflow = plan.n_overflow
 
     p_solved = pallas_pbf.solve_pallas(
-        cfg, p_s, sorted_cid_pad, interpret=pallas_interpret
+        cfg, p_s, sorted_cid_pad, interpret=pallas_interpret, plan=plan
     )
     x_new, v_new = finalize(cfg, p_solved, last_s)
     x_new = jnp.where(active_s[:, None], x_new, SENTINEL)
@@ -769,7 +796,13 @@ def make_sharded_rollout(cfg: SimConfig, pcfg: ParallelConfig, mesh: Mesh,
                          unroll_steps: int = 1):
     """N sharded steps per device call via lax.scan — same amortization as
     core.step.make_rollout (the tunneled runtime charges ~30-60 ms per jitted
-    call). Returns fn(sst) -> (sst, last_stats, last_diag)."""
+    call). Returns fn(sst) -> (sst, stats, diag) where the per-shard stats
+    and diag are AGGREGATED over the whole chunk, not sampled at its last
+    step (advisor, round 3: a transient mid-chunk ghost/migration overflow
+    truncates physics and must surface even if the last step is clean):
+    stats column 0 (active count) is the final step's value, the overflow
+    columns 1-4 are summed over the scan; diag columns (max_speed,
+    n_escaped, nan_detected) are each the max over the scan."""
     if backend not in ("cell", "pallas"):
         raise ValueError(f"unknown sharded backend {backend!r}")
     _validate_geometry(cfg, pcfg)
@@ -789,7 +822,9 @@ def make_sharded_rollout(cfg: SimConfig, pcfg: ParallelConfig, mesh: Mesh,
         carry, (stats, diag) = jax.lax.scan(
             scan_body, tuple(sst), None, length=unroll_steps
         )
-        return ShardedState(*carry), stats[-1], diag[-1]
+        agg_stats = jnp.concatenate(
+            [stats[-1, :, :1], stats[:, :, 1:].sum(axis=0)], axis=1)
+        return ShardedState(*carry), agg_stats, diag.max(axis=0)
 
     return jax.jit(roll)
 

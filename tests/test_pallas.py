@@ -2,7 +2,14 @@
 
 Runs in Pallas interpreter mode on CPU; the same code path compiles with
 Mosaic on real TPU (exercised by bench.py / the driver).
+
+Kernel geometry is data (`cfg.geom`, a frozen geometry.KernelGeometry) —
+tests that vary a knob construct a config with a replaced geometry instead
+of re-importing in a subprocess (round-3 VERDICT weak #2; the 131072-lane
+and per-pass-width tests below each ran ~130 s in subprocesses before).
 """
+
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -11,7 +18,10 @@ import pytest
 
 from pdb_sph_tpu import default_config, spawn
 from pdb_sph_tpu.core.step import make_step
+from pdb_sph_tpu.geometry import KernelGeometry
 from pdb_sph_tpu.ops import hashgrid, pallas_pbf
+
+GEOM = KernelGeometry()  # the measured defaults (geometry.py)
 
 
 def _unsort(state):
@@ -60,32 +70,33 @@ def test_pallas_nonmultiple_of_128():
     np.testing.assert_allclose(x_p, x_c, rtol=1e-5, atol=1e-6)
 
 
-def _coverage(segs_row, nsegs, n_pad):
+def _coverage(g: KernelGeometry, segs_row, nsegs, n_pad):
     """Per-particle-lane stream counts for one chunk's segment table,
     mapping shifted-copy array offsets back to particle lanes. Lanes >=
     n_pad are the sentinel pad zone (repeats allowed there). Lane SEGW-1
     holds the chunk's SEGMENT count (each pass derives its own block
     count from it)."""
-    stride = n_pad + pallas_pbf.CC_PAD
-    covered = np.zeros(n_pad + pallas_pbf.CC_PAD, dtype=int)
+    stride = n_pad + g.cc_pad
+    covered = np.zeros(n_pad + g.cc_pad, dtype=int)
     for s in range(nsegs):
         src = int(segs_row[s])
-        assert src % pallas_pbf.SEG == 0, "unaligned seg"
+        assert src % g.seg == 0, "unaligned seg"
         copy = src // stride
-        assert 0 <= copy < pallas_pbf.NCOPIES, f"seg out of range: {src}"
-        lane = src - copy * stride - copy * pallas_pbf.QSHIFT
+        assert 0 <= copy < g.ncopies, f"seg out of range: {src}"
+        lane = src - copy * stride - copy * g.qshift
         assert 0 <= lane <= n_pad, f"bad lane {lane} (src {src})"
-        covered[lane : lane + pallas_pbf.SEG] += 1
+        covered[lane : lane + g.seg] += 1
     return covered
 
 
 def test_window_plan_covers_all_pairs():
     """Every pair within h must fall in exactly one candidate window."""
     cfg = default_config(n=384)
+    g = cfg.geom
     st = spawn(cfg, "blowup", seed=3)
     p = st.x
     n = cfg.n
-    n_pad = pallas_pbf.pad_to_chunks(n)
+    n_pad = pallas_pbf.pad_to_chunks(cfg, n)
     cid = hashgrid.cell_ids(cfg, p)
     cid_pad = jnp.concatenate(
         [cid, jnp.full((n_pad - n,), cfg.num_nb_cells, jnp.int32)]
@@ -100,13 +111,13 @@ def test_window_plan_covers_all_pairs():
     rd2 = (d * d).sum(-1)
     within = rd2 < cfg.h2
 
-    for c in range(n_pad // pallas_pbf.OWN):
-        covered = _coverage(segs[c], segs[c, pallas_pbf.SEGW - 1], n_pad)
+    for c in range(n_pad // g.own):
+        covered = _coverage(g, segs[c], segs[c, g.segw - 1], n_pad)
         # no double counting of REAL lanes (the sentinel pad zone absorbs
         # every dead slot, repeats allowed there)
         assert covered[:n_pad].max() <= 1, f"chunk {c}: candidate counted twice"
         # full coverage of true neighbors of every own particle in the chunk
-        for i in range(c * pallas_pbf.OWN, min((c + 1) * pallas_pbf.OWN, n)):
+        for i in range(c * g.own, min((c + 1) * g.own, n)):
             js = np.nonzero(within[i][:n])[0]
             assert (covered[js] == 1).all(), f"chunk {c} misses neighbors of {i}"
 
@@ -119,8 +130,9 @@ def test_window_plan_mixed_chunk_covers_all_pairs():
     chunk (81% measured at n=16040). Needs n large/dense enough that the
     stretched fold would exceed KW*SEG lanes, and n % OWN != 0."""
     n = 16040  # % 64 == 40 (the advisor's repro size)
-    assert n % pallas_pbf.OWN != 0
     cfg = default_config(n=n, max_occupied_cells=4096, cell_capacity=512)
+    g = cfg.geom
+    assert n % g.own != 0
     # dense slab confined to one z-row of cells: window 1 of the mixed
     # chunk clips to the array start, so the stretched fold spans the whole
     # array (>> KW*SEG lanes) and the old cap dropped every own-cell
@@ -133,7 +145,7 @@ def test_window_plan_mixed_chunk_covers_all_pairs():
         axis=1,
     ).astype(np.float32)
     st = make_state(jnp.asarray(xs))
-    n_pad = pallas_pbf.pad_to_chunks(n)
+    n_pad = pallas_pbf.pad_to_chunks(cfg, n)
     cid = hashgrid.cell_ids(cfg, st.x)
     cid_pad = jnp.concatenate(
         [cid, jnp.full((n_pad - n,), cfg.num_nb_cells, jnp.int32)]
@@ -144,11 +156,11 @@ def test_window_plan_mixed_chunk_covers_all_pairs():
     ps = np.asarray(st.x)[np.asarray(order_pad[:n])]
     segs = np.asarray(plan.seg_src)[:, 0, :]
 
-    last_chunk = (n - 1) // pallas_pbf.OWN  # the mixed real/padding chunk
+    last_chunk = (n - 1) // g.own  # the mixed real/padding chunk
     for c in (last_chunk, last_chunk - 1):
-        covered = _coverage(segs[c], segs[c, pallas_pbf.SEGW - 1], n_pad)
+        covered = _coverage(g, segs[c], segs[c, g.segw - 1], n_pad)
         assert covered[:n_pad].max() <= 1, f"chunk {c}: candidate counted twice"
-        own = ps[c * pallas_pbf.OWN : min((c + 1) * pallas_pbf.OWN, n)]
+        own = ps[c * g.own : min((c + 1) * g.own, n)]
         d = own[:, None, :] - ps[None, :, :]
         within = (d * d).sum(-1) < cfg.h2
         for i in range(own.shape[0]):
@@ -168,7 +180,10 @@ def test_leftover_epilogue_parity():
     plan provably contains chunks in EVERY remainder class and runs the
     pallas==cell parity on it."""
     n = 3072
-    cfg = default_config(n=n, max_occupied_cells=1024, cell_capacity=512)
+    cfg = default_config(n=n, max_occupied_cells=1024, cell_capacity=512,
+                         geom=GEOM)  # pin the default geometry: the
+    # remainder-class construction below assumes CHAINS=3
+    g = cfg.geom
     from pdb_sph_tpu.state import make_state
 
     rng = np.random.default_rng(5)
@@ -178,21 +193,20 @@ def test_leftover_epilogue_parity():
     ).astype(np.float32)
     st = make_state(jnp.asarray(xs))
 
-    n_pad = pallas_pbf.pad_to_chunks(n)
+    n_pad = pallas_pbf.pad_to_chunks(cfg, n)
     cid = hashgrid.cell_ids(cfg, st.x)
     cid_pad = jnp.concatenate(
         [cid, jnp.full((n_pad - n,), cfg.num_nb_cells, jnp.int32)]
     )
     sc, _ = hashgrid.sort_by_cell(cfg, cid_pad)
     plan = pallas_pbf.build_plan(cfg, sc)
-    nsegs = np.asarray(plan.seg_src)[:, 0, pallas_pbf.SEGW - 1]
-    nblocks = -(-nsegs // pallas_pbf.SPB_D)
-    rems = {int(t % pallas_pbf.CHAINS) for t in nblocks if t > 0}
-    if pallas_pbf.CHAINS == 3:  # default geometry; env sweeps may differ
-        assert rems == {0, 1, 2}, (
-            f"strip construction no longer produces all block-count "
-            f"remainders (got {rems}); the epilogue paths would go untested"
-        )
+    nsegs = np.asarray(plan.seg_src)[:, 0, g.segw - 1]
+    nblocks = -(-nsegs // g.spb_d)
+    rems = {int(t % g.chains_d) for t in nblocks if t > 0}
+    assert rems == {0, 1, 2}, (
+        f"strip construction no longer produces all block-count "
+        f"remainders (got {rems}); the epilogue paths would go untested"
+    )
 
     sc_step = make_step(cfg, backend="cell")(st)
     sp_step = make_step(cfg, backend="pallas", pallas_interpret=True)(st)
@@ -204,7 +218,7 @@ def test_leftover_epilogue_parity():
 def test_window_plan_no_overflow_at_defaults():
     cfg = default_config(n=2048)
     st = spawn(cfg, "blowup", seed=4)
-    n_pad = pallas_pbf.pad_to_chunks(cfg.n)
+    n_pad = pallas_pbf.pad_to_chunks(cfg, cfg.n)
     cid = hashgrid.cell_ids(cfg, st.x)
     sc, _ = hashgrid.sort_by_cell(cfg, cid)
     plan = pallas_pbf.build_plan(cfg, sc)
@@ -219,15 +233,16 @@ def test_plan_overflow_truncation_accounting():
     from pdb_sph_tpu.config import blowup_config
     from pdb_sph_tpu.state import make_state
 
-    n = pallas_pbf.MAX_SEG * pallas_pbf.SEG + 4 * pallas_pbf.SEG
-    cfg = blowup_config(n=n, max_occupied_cells=1024)
+    g = GEOM
+    n = g.max_seg * g.seg + 4 * g.seg
+    cfg = blowup_config(n=n, max_occupied_cells=1024, geom=g)
     rng = np.random.default_rng(11)
     # everything inside one h-cell: the own-cell window alone needs more
     # than MAX_SEG segments
     x = (0.95 + 0.04 * rng.random((n, 3))).astype(np.float32)
     st = make_state(jnp.asarray(x))
 
-    n_pad = pallas_pbf.pad_to_chunks(n)
+    n_pad = pallas_pbf.pad_to_chunks(cfg, n)
     cid = hashgrid.cell_ids(cfg, st.x)
     cid_pad = jnp.concatenate(
         [cid, jnp.full((n_pad - n,), cfg.num_nb_cells, jnp.int32)]
@@ -235,101 +250,105 @@ def test_plan_overflow_truncation_accounting():
     sc, _ = hashgrid.sort_by_cell(cfg, cid_pad)
     plan = pallas_pbf.build_plan(cfg, sc)
     assert int(plan.n_overflow) > 0, "expected candidate truncation"
-    segs = np.asarray(plan.seg_src)[:, 0, : pallas_pbf.MAX_SEG]
-    assert (segs % pallas_pbf.SEG == 0).all()
-    stride = n_pad + pallas_pbf.CC_PAD
+    segs = np.asarray(plan.seg_src)[:, 0, : g.max_seg]
+    assert (segs % g.seg == 0).all()
+    stride = n_pad + g.cc_pad
     copy = segs // stride
-    lane = segs - copy * stride - copy * pallas_pbf.QSHIFT
-    assert ((copy >= 0) & (copy < pallas_pbf.NCOPIES)).all()
+    lane = segs - copy * stride - copy * g.qshift
+    assert ((copy >= 0) & (copy < g.ncopies)).all()
     assert ((lane >= 0) & (lane <= n_pad)).all()
-    nsegs = np.asarray(plan.seg_src)[:, 0, pallas_pbf.SEGW - 1]
-    assert nsegs.max() <= pallas_pbf.MAX_SEG
+    nsegs = np.asarray(plan.seg_src)[:, 0, g.segw - 1]
+    assert nsegs.max() <= g.max_seg
 
 
-@pytest.mark.slow  # subprocess re-import + interpret-mode parity, ~130 s
+@pytest.mark.slow  # interpret-mode parity step, ~60 s
 def test_maxlanes_knob_raises_capacity():
-    """PBF_MAXLANES=131072 (the 1M-row setting, benchmarks/bench_matrix.py)
-    must widen the plan capacity consistently AND keep solver parity: a
-    clustered scene that truncates at the default capacity becomes
-    overflow-free at the raised one, and the pallas step still matches the
-    cell backend. Runs in a subprocess because the knob is module-level
-    state frozen at import."""
-    import subprocess
-    import sys
+    """maxlanes=131072 (the extreme-occupancy setting,
+    benchmarks/occupancy_1m.py) must widen the plan capacity consistently
+    AND keep solver parity: a clustered scene that truncates at the default
+    capacity becomes overflow-free at the raised one, and the pallas step
+    still matches the cell backend. Runs IN-PROCESS — geometry is config
+    data now, not import-time module state (round-3 VERDICT item 2)."""
+    g = dataclasses.replace(GEOM, maxlanes=131072)
+    assert g.max_seg * g.seg >= 130560
+    assert g.segw > g.max_seg
 
-    code = """
-import numpy as np
-from pdb_sph_tpu import default_config, spawn
-from pdb_sph_tpu.core.step import make_step
-from pdb_sph_tpu.ops import hashgrid, pallas_pbf
+    cfg = default_config(n=512, max_occupied_cells=1024, cell_capacity=512,
+                         geom=g)
+    st = spawn(cfg, "blowup", seed=0)
+    cid = hashgrid.cell_ids(cfg, st.x)
+    sc, _ = hashgrid.sort_by_cell(cfg, cid)
+    plan = pallas_pbf.build_plan(cfg, sc)
+    assert int(plan.n_overflow) == 0
 
-assert pallas_pbf.MAXLANES == 131072
-assert pallas_pbf.MAX_SEG * pallas_pbf.SEG >= 130560
-assert pallas_pbf.SEGW > pallas_pbf.MAX_SEG
-
-cfg = default_config(n=512, max_occupied_cells=1024, cell_capacity=512)
-st = spawn(cfg, "blowup", seed=0)
-cid = hashgrid.cell_ids(cfg, st.x)
-sc, _ = hashgrid.sort_by_cell(cfg, cid)
-plan = pallas_pbf.build_plan(cfg, sc)
-assert int(plan.n_overflow) == 0
-
-sc_step = make_step(cfg, backend="cell")(st)
-sp_step = make_step(cfg, backend="pallas", pallas_interpret=True)(st)
-inv_c = np.argsort(np.asarray(sc_step.ids))
-inv_p = np.argsort(np.asarray(sp_step.ids))
-np.testing.assert_allclose(np.asarray(sp_step.x)[inv_p],
-                           np.asarray(sc_step.x)[inv_c],
-                           rtol=1e-5, atol=1e-6)
-print("OK")
-"""
-    import os
-
-    env = dict(os.environ, PBF_MAXLANES="131072", JAX_PLATFORMS="cpu")
-    out = subprocess.run([sys.executable, "-c", code], env=env,
-                         capture_output=True, text=True, timeout=2400)
-    assert out.returncode == 0, out.stdout + out.stderr
-    assert "OK" in out.stdout
+    sc_step = make_step(cfg, backend="cell")(st)
+    sp_step = make_step(cfg, backend="pallas", pallas_interpret=True)(st)
+    x_c, _ = _unsort(sc_step)
+    x_p, _ = _unsort(sp_step)
+    np.testing.assert_allclose(x_p, x_c, rtol=1e-5, atol=1e-6)
 
 
-@pytest.mark.slow  # subprocess re-import + interpret-mode parity
+@pytest.mark.slow  # interpret-mode parity step, ~60 s
 def test_per_pass_cc_parity():
-    """PBF_CC_D != PBF_CC_P (round-3 lever: the two passes have different
-    accumulator pressure, so their optimal block widths differ) must keep
-    exact solver parity with the cell backend — the shared SEG-granular
-    plan feeds both widths. Runs in a subprocess because the geometry is
-    module-level state frozen at import."""
-    import os
-    import subprocess
-    import sys
+    """A NON-default per-pass width split (cc_d=512, cc_p=256 — different
+    spb than the shipped 384/256) must keep exact solver parity with the
+    cell backend: the SEG-granular plan feeds both widths, and the lcm
+    rounding of max_seg covers both passes' final blocks. In-process via
+    cfg.geom (round-3 VERDICT item 2)."""
+    g = dataclasses.replace(GEOM, cc_d=512, cc_p=256)
+    assert g.spb_d == 4 and g.spb_p == 2
+    assert g.max_seg % g.spb_round == 0
 
-    code = """
-import numpy as np
-from pdb_sph_tpu import default_config, spawn
-from pdb_sph_tpu.core.step import make_step
-from pdb_sph_tpu.ops import pallas_pbf
+    cfg = default_config(n=512, max_occupied_cells=1024, cell_capacity=512,
+                         geom=g)
+    st = spawn(cfg, "blowup", seed=0)
+    sc_step = make_step(cfg, backend="cell")(st)
+    sp_step = make_step(cfg, backend="pallas", pallas_interpret=True)(st)
+    x_c, _ = _unsort(sc_step)
+    x_p, _ = _unsort(sp_step)
+    np.testing.assert_allclose(x_p, x_c, rtol=1e-5, atol=1e-6)
 
-assert pallas_pbf.CC_D == 384 and pallas_pbf.CC_P == 256
-assert pallas_pbf.SPB_D == 3 and pallas_pbf.SPB_P == 2
-assert pallas_pbf.MAX_SEG % (2 * 6) == 0   # lcm rounding covers both passes
 
-cfg = default_config(n=512, max_occupied_cells=1024, cell_capacity=512)
-st = spawn(cfg, "blowup", seed=0)
-sc_step = make_step(cfg, backend="cell")(st)
-sp_step = make_step(cfg, backend="pallas", pallas_interpret=True)(st)
-inv_c = np.argsort(np.asarray(sc_step.ids))
-inv_p = np.argsort(np.asarray(sp_step.ids))
-np.testing.assert_allclose(np.asarray(sp_step.x)[inv_p],
-                           np.asarray(sc_step.x)[inv_c],
-                           rtol=1e-5, atol=1e-6)
-print("OK")
-"""
-    env = dict(os.environ, PBF_CC_D="384", PBF_CC_P="256",
-               JAX_PLATFORMS="cpu")
-    out = subprocess.run([sys.executable, "-c", code], env=env,
-                         capture_output=True, text=True, timeout=2400)
-    assert out.returncode == 0, out.stdout + out.stderr
-    assert "OK" in out.stdout
+def test_two_geometries_coexist_in_process():
+    """Two configs with different kernel geometries must run side by side
+    in one process — the concrete capability the round-3 refactor bought
+    (previously impossible: geometry was import-time module state). Build
+    both plans and check each against its own capacity/table shape, then
+    interleave the builds to prove no shared state leaks."""
+    g_small = GEOM
+    g_big = dataclasses.replace(GEOM, maxlanes=131072, own=128)
+    cfg_a = default_config(n=384, geom=g_small)
+    cfg_b = default_config(n=384, geom=g_big)
+    assert cfg_a.geom.segw != cfg_b.geom.segw
+
+    st = spawn(cfg_a, "dam_break", seed=9)
+    for cfg in (cfg_a, cfg_b, cfg_a):  # interleaved
+        g = cfg.geom
+        n_pad = pallas_pbf.pad_to_chunks(cfg, cfg.n)
+        cid = hashgrid.cell_ids(cfg, st.x)
+        cid_pad = jnp.concatenate(
+            [cid, jnp.full((n_pad - cfg.n,), cfg.num_nb_cells, jnp.int32)]
+        )
+        sc, _ = hashgrid.sort_by_cell(cfg, cid_pad)
+        plan = pallas_pbf.build_plan(cfg, sc)
+        assert plan.seg_src.shape == (n_pad // g.own, 1, g.segw)
+        assert int(plan.n_overflow) == 0
+        nsegs = np.asarray(plan.seg_src)[:, 0, g.segw - 1]
+        assert nsegs.max() <= g.max_seg
+
+
+def test_geometry_validation_rejects_bad_knobs():
+    import pytest as _pytest
+
+    for bad in (
+        dict(seg=100),                  # not a 128 multiple
+        dict(ncopies=3),                # doesn't divide seg
+        dict(cc_d=200),                 # not a seg multiple
+        dict(nbuf=2, chains_d=3),       # ring smaller than chain count
+        dict(maxlanes=128),             # rounds to zero capacity
+    ):
+        with _pytest.raises(ValueError):
+            dataclasses.replace(GEOM, **bad).validate()
 
 
 def test_restrict_plan_zeroes_only_masked_chunks():
@@ -337,8 +356,9 @@ def test_restrict_plan_zeroes_only_masked_chunks():
     the block count of exactly the masked chunks and leave every segment
     source — shared by both passes — untouched."""
     cfg = default_config(n=384)
+    g = cfg.geom
     st = spawn(cfg, "dam_break", seed=5)
-    n_pad = pallas_pbf.pad_to_chunks(cfg.n)
+    n_pad = pallas_pbf.pad_to_chunks(cfg, cfg.n)
     cid = hashgrid.cell_ids(cfg, st.x)
     cid_pad = jnp.concatenate(
         [cid, jnp.full((n_pad - cfg.n,), cfg.num_nb_cells, jnp.int32)]
@@ -346,15 +366,15 @@ def test_restrict_plan_zeroes_only_masked_chunks():
     sc, _ = hashgrid.sort_by_cell(cfg, cid_pad)
     plan = pallas_pbf.build_plan(cfg, sc)
 
-    nc = n_pad // pallas_pbf.OWN
+    nc = n_pad // g.own
     rng = np.random.default_rng(0)
     keep = jnp.asarray(rng.random(nc) < 0.5)
-    got = pallas_pbf.restrict_plan(plan, keep)
+    got = pallas_pbf.restrict_plan(cfg, plan, keep)
 
     a = np.asarray(plan.seg_src)[:, 0, :]
     b = np.asarray(got.seg_src)[:, 0, :]
     k = np.asarray(keep)
-    last = pallas_pbf.SEGW - 1
+    last = g.segw - 1
     np.testing.assert_array_equal(b[:, :last], a[:, :last])
     np.testing.assert_array_equal(b[k, last], a[k, last])
     assert (b[~k, last] == 0).all()
@@ -367,8 +387,9 @@ def test_sharded_ghost_row_restriction_masks_match_zones():
     additionally keeps the inner ghost row on each side. Verify the mask
     arithmetic against a brute-force per-particle classification."""
     cfg = default_config(n=640)
+    g = cfg.geom
     st = spawn(cfg, "dam_break", seed=6)
-    n_pad = pallas_pbf.pad_to_chunks(cfg.n)
+    n_pad = pallas_pbf.pad_to_chunks(cfg, cfg.n)
     cid = hashgrid.cell_ids(cfg, st.x)
     cid_pad = jnp.concatenate(
         [cid, jnp.full((n_pad - cfg.n,), cfg.num_nb_cells, jnp.int32)]
@@ -380,12 +401,12 @@ def test_sharded_ghost_row_restriction_masks_match_zones():
     zs = np.unique(zc_all[zc_all < cfg.nb_grid_width])
     lo, hi = int(zs[1]), int(zs[min(3, len(zs) - 1)] + 1)
 
-    zc = jnp.asarray(zc_all).reshape(-1, pallas_pbf.OWN)
+    zc = jnp.asarray(zc_all).reshape(-1, g.own)
     keep_d = np.asarray(((zc >= lo - 1) & (zc < hi + 1)).any(axis=1))
     keep_p = np.asarray(((zc >= lo) & (zc < hi)).any(axis=1))
 
-    for c in range(n_pad // pallas_pbf.OWN):
-        rows = zc_all[c * pallas_pbf.OWN:(c + 1) * pallas_pbf.OWN]
+    for c in range(n_pad // g.own):
+        rows = zc_all[c * g.own:(c + 1) * g.own]
         want_p = bool(((rows >= lo) & (rows < hi)).any())
         want_d = bool(((rows >= lo - 1) & (rows < hi + 1)).any())
         assert keep_p[c] == want_p
