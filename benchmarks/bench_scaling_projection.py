@@ -57,11 +57,19 @@ COLL_LAT_US = 2.0        # per-collective latency allowance, us
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000)
-    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--devices", type=int, nargs="+", default=[8])
     ap.add_argument("--snap-steps", type=int, nargs="+", default=[0, 120])
     ap.add_argument("--steps-per-timing", type=int, default=10)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--maxlanes", type=int, default=131072)
+    ap.add_argument("--single-maxlanes", type=int, default=49152,
+                    help="geometry for the single-chip denominator — its "
+                         "own swept optimum (BENCH_MATRIX row), not the "
+                         "per-shard geometry, so efficiency is vs the BEST "
+                         "single-chip number")
+    ap.add_argument("--cap-slack", type=float, default=1.6)
+    ap.add_argument("--ghost-slack", type=float, default=2.5)
+    ap.add_argument("--mig-slack", type=float, default=3.0)
     args = ap.parse_args(argv)
 
     import jax
@@ -81,24 +89,34 @@ def main(argv=None) -> int:
     enable_compilation_cache()
     geom = dataclasses.replace(geometry_from_env(), maxlanes=args.maxlanes)
     cfg = pbf.default_config(n=args.n, geom=geom)
-    D = args.devices
+    cfg1 = pbf.default_config(
+        n=args.n,
+        geom=dataclasses.replace(geometry_from_env(),
+                                 maxlanes=args.single_maxlanes))
 
     def log(msg):
         print(msg, file=sys.stderr, flush=True)
 
-    state = pbf.spawn(cfg, "dam_break", seed=0)
-    roll = None
+    # --- snapshots FIRST (snap 0 must be the true spawn, not a settled
+    # state — round-4 fix), stored as immutable pytrees ----------------
+    state = pbf.spawn(cfg1, "dam_break", seed=0)
+    roll = make_rollout(cfg1, backend="pallas", unroll_steps=20)
     done_steps = 0
+    snap_states = {}
+    for snap in sorted(args.snap_steps):
+        while done_steps < snap:
+            state = roll(state)
+            done_steps += 20
+        snap_states[snap] = state
     results = []
 
-    # single-chip whole-step reference at the same n (the 3.58 steps/s
-    # BENCH_MATRIX row, re-measured here so the efficiency ratio is
-    # same-process, same-chip)
+    # single-chip whole-step reference at the same n, at the single-chip
+    # geometry's own swept optimum (the 3.58 steps/s BENCH_MATRIX row),
+    # re-measured here so the efficiency ratio is same-process, same-chip
     log("[scaling] measuring single-chip 1M step...")
-    roll = make_rollout(cfg, backend="pallas", unroll_steps=20)
     state = roll(state)           # settle + compile
     host_sync(state)
-    done_steps = 20
+    done_steps += 20
     best1 = float("inf")
     for _ in range(args.reps):
         t0 = time.perf_counter()
@@ -109,16 +127,17 @@ def main(argv=None) -> int:
     single_ms = best1 / 20 * 1e3
     log(f"[scaling] single-chip: {single_ms:.1f} ms/step")
 
-    for snap in sorted(args.snap_steps):
-        while done_steps < snap:
-            state = roll(state)
-            done_steps += 20
-        x = np.asarray(state.x)
-        v = np.asarray(state.v)
+    for D, snap in [(D, s) for D in args.devices
+                    for s in sorted(args.snap_steps)]:
+        sstate = snap_states[snap]
+        x = np.asarray(sstate.x)
+        v = np.asarray(sstate.v)
 
         # --- balanced decomposition of the snapshot -------------------
-        pcfg = sharded.ParallelConfig.create(cfg, D, state=state)
-        b = sharded.initial_bounds(cfg, D, state=state)
+        pcfg = sharded.ParallelConfig.create(
+            cfg, D, state=sstate, slack=args.cap_slack,
+            ghost_slack=args.ghost_slack, mig_slack=args.mig_slack)
+        b = sharded.initial_bounds(cfg, D, state=sstate)
         cz = np.clip((x[:, 2] / cfg.nb_cell).astype(np.int64), 0,
                      cfg.nb_grid_width - 1)
         dest = np.searchsorted(b[1:-1], cz, side="right")
@@ -285,6 +304,7 @@ def main(argv=None) -> int:
 
         proj_ms = shard_ms + exch_ms
         results.append({
+            "devices": D,
             "snapshot_step": snap,
             "worst_shard": d,
             "own": int(len(own_sel)),
@@ -311,9 +331,13 @@ def main(argv=None) -> int:
         "hardware": "1x TPU v5e (tunneled); wire model: "
                     f"{ICI_GBPS} GB/s/link one-way + {COLL_LAT_US} us "
                     "per collective, zero compute/comm overlap assumed",
-        "config": {"n": args.n, "devices": D,
+        "config": {"n": args.n, "devices": args.devices,
                    "solver_iters": cfg.solver_iters,
                    "maxlanes": geom.maxlanes,
+                   "single_chip_maxlanes": args.single_maxlanes,
+                   "slacks": {"cap": args.cap_slack,
+                              "ghost": args.ghost_slack,
+                              "mig": args.mig_slack},
                    "single_chip_ms_per_step": round(single_ms, 2)},
         "snapshots": results,
     }
