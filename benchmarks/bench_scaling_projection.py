@@ -70,6 +70,9 @@ def main(argv=None) -> int:
     ap.add_argument("--cap-slack", type=float, default=1.6)
     ap.add_argument("--ghost-slack", type=float, default=2.5)
     ap.add_argument("--mig-slack", type=float, default=3.0)
+    ap.add_argument("--ghost-rows", type=int, default=2, choices=(1, 2),
+                    help="1 = h-band ghost mode (docs/SCALING.md section "
+                         "6): half the ghost lanes and wire bytes")
     args = ap.parse_args(argv)
 
     import jax
@@ -136,8 +139,10 @@ def main(argv=None) -> int:
         # --- balanced decomposition of the snapshot -------------------
         pcfg = sharded.ParallelConfig.create(
             cfg, D, state=sstate, slack=args.cap_slack,
-            ghost_slack=args.ghost_slack, mig_slack=args.mig_slack)
+            ghost_slack=args.ghost_slack, mig_slack=args.mig_slack,
+            ghost_rows=args.ghost_rows)
         b = sharded.initial_bounds(cfg, D, state=sstate)
+        grows = args.ghost_rows
         cz = np.clip((x[:, 2] / cfg.nb_cell).astype(np.int64), 0,
                      cfg.nb_grid_width - 1)
         dest = np.searchsorted(b[1:-1], cz, side="right")
@@ -145,9 +150,9 @@ def main(argv=None) -> int:
         d = int(np.argmax(occ))
         lo, hi = int(b[d]), int(b[d + 1])
         own_sel = np.nonzero(dest == d)[0]
-        gl_sel = (np.nonzero((dest == d - 1) & (cz >= lo - 2))[0]
+        gl_sel = (np.nonzero((dest == d - 1) & (cz >= lo - grows))[0]
                   if d > 0 else np.zeros(0, np.int64))
-        gr_sel = (np.nonzero((dest == d + 1) & (cz < hi + 2))[0]
+        gr_sel = (np.nonzero((dest == d + 1) & (cz < hi + grows))[0]
                   if d < D - 1 else np.zeros(0, np.int64))
         cap, gcap, mcap = (pcfg.capacity, pcfg.ghost_capacity,
                            pcfg.mig_capacity)
@@ -236,9 +241,9 @@ def main(argv=None) -> int:
             # per-step selection work)
             cz2 = sharded._zcell(cfg, p2)
             gl_idx, gl_ok, _ = sharded._pack_rows(
-                active2 & (cz2 < zlo + 2), gcap)
+                active2 & (cz2 < zlo + grows), gcap)
             gr_idx, gr_ok, _ = sharded._pack_rows(
-                active2 & (cz2 >= zhi - 2), gcap)
+                active2 & (cz2 >= zhi - grows), gcap)
 
             def exchange_ghosts(p_now):
                 # the refresh GLUE: build both outgoing buffers from p_now

@@ -98,6 +98,26 @@ class ParallelConfig:
     mig_capacity: int      # per-direction migration slots
     ghost_capacity: int    # per-direction ghost slots
     rebalance: bool = True  # occupancy-tracking boundary updates each step
+    ghost_rows: int = 2    # boundary cell-rows shipped per side.
+                           # The exchange must cover depth 2h: h for the
+                           # density sums of own boundary-row particles,
+                           # plus h more to complete the lambda of every
+                           # ghost the project pass consumes. At the
+                           # production neighbor grid (nb_cell == h) two
+                           # rows == 2h exactly — the default is already
+                           # the physics-minimal set, there is no
+                           # cheaper legal value.
+                           # 1 (h-band mode) is legal only when
+                           # nb_cell >= 2h (validated): one coarse row
+                           # then covers the full 2h depth — e.g. a
+                           # reference-style cell_size == 2h neighbor
+                           # grid. The shipped row's outer-half lambdas
+                           # are incomplete but never consumed (> h from
+                           # every own row at plan freeze, rd2-clamped);
+                           # divergence from single-device parity is the
+                           # intra-step drift tail across the unshipped
+                           # outer row, bounded by the h-band parity
+                           # test. docs/SCALING.md section 6.
     z_cells_hi: int = 0    # legacy even-split range for rebalance=False:
                            # slabs evenly partition z-cells [0, z_cells_hi);
                            # 0 -> full grid width. Ignored when rebalancing
@@ -106,7 +126,8 @@ class ParallelConfig:
     @staticmethod
     def create(cfg: SimConfig, n_devices: int, slack: float = 1.6,
                state: SimState | None = None, rebalance: bool = True,
-               ghost_slack: float = 2.5, mig_slack: float = 3.0):
+               ghost_slack: float = 2.5, mig_slack: float = 3.0,
+               ghost_rows: int = 2):
         """Size the per-shard buffers.
 
         With rebalancing (default) the boundaries keep shards near n/D, so
@@ -151,6 +172,7 @@ class ParallelConfig:
             return ParallelConfig(
                 n_devices=1, capacity=cap, mig_capacity=128,
                 ghost_capacity=128, rebalance=False, z_cells_hi=0,
+                ghost_rows=ghost_rows,
             )
         cap = int(np.ceil(cfg.n * slack / n_devices / 128) * 128)
         z_hi = min(
@@ -171,9 +193,9 @@ class ParallelConfig:
             cap = max(cap, int(np.ceil(occ_max * 1.5 / 128) * 128))
             lo, hi = b[dest], b[dest + 1]
             two_row = max(
-                int(np.bincount(dest[cz < lo + 2],
+                int(np.bincount(dest[cz < lo + ghost_rows],
                                 minlength=n_devices).max(initial=0)),
-                int(np.bincount(dest[cz >= hi - 2],
+                int(np.bincount(dest[cz >= hi - ghost_rows],
                                 minlength=n_devices).max(initial=0)),
             )
             one_row = max(
@@ -197,6 +219,7 @@ class ParallelConfig:
             ghost_capacity=ghost_cap if ghost_cap is not None else cap,
             rebalance=rebalance,
             z_cells_hi=z_hi,
+            ghost_rows=ghost_rows,
         )
 
 
@@ -228,6 +251,13 @@ def _validate_geometry(cfg: SimConfig, pcfg: ParallelConfig) -> None:
         if val <= 0 or val % 128 != 0:
             raise ValueError(f"{name} ({val}) must be a positive multiple "
                              "of 128")
+    if pcfg.ghost_rows not in (1, 2):
+        raise ValueError(f"ghost_rows ({pcfg.ghost_rows}) must be 1 or 2")
+    if pcfg.ghost_rows == 1 and cfg.nb_cell < 2 * cfg.h:
+        raise ValueError(
+            f"ghost_rows=1 (h-band mode) requires nb_cell >= 2h so one "
+            f"boundary row covers every consumed lambda's h-neighborhood "
+            f"(nb_cell={cfg.nb_cell}, h={cfg.h})")
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -673,11 +703,12 @@ def _shard_step(cfg: SimConfig, pcfg: ParallelConfig, backend: str,
         # edge shards have no neighbor on that side: selecting their
         # boundary rows anyway would waste ghost capacity and fire
         # spurious overflow
+        gr_rows = pcfg.ghost_rows
         ghost_l_idx, ghost_l_ok, gover_l = _pack_rows(
-            active & (cz < lo + 2) & (me > 0), pcfg.ghost_capacity
+            active & (cz < lo + gr_rows) & (me > 0), pcfg.ghost_capacity
         )
         ghost_r_idx, ghost_r_ok, gover_r = _pack_rows(
-            active & (cz >= hi - 2) & (me < D - 1), pcfg.ghost_capacity
+            active & (cz >= hi - gr_rows) & (me < D - 1), pcfg.ghost_capacity
         )
         ghost_overflow = gover_l + gover_r
 
@@ -853,9 +884,11 @@ def _shard_diag(cfg: SimConfig, pcfg: ParallelConfig, x, v, ids, bounds):
         hi = b[me + 1]
         cz = _zcell(cfg, xm)
         gl_idx, gl_ok, _ = _pack_rows(
-            active & (cz < lo + 2) & (me > 0), pcfg.ghost_capacity)
+            active & (cz < lo + pcfg.ghost_rows) & (me > 0),
+            pcfg.ghost_capacity)
         gr_idx, gr_ok, _ = _pack_rows(
-            active & (cz >= hi - 2) & (me < D - 1), pcfg.ghost_capacity)
+            active & (cz >= hi - pcfg.ghost_rows) & (me < D - 1),
+            pcfg.ghost_capacity)
 
         def buf(idx, ok):
             return jnp.concatenate(

@@ -333,3 +333,54 @@ def test_narrow_slab_geometry_rejected(mesh):
     pcfg = sharded.ParallelConfig.create(cfg, D)
     with pytest.raises(ValueError, match="ghost exchange"):
         sharded.make_sharded_step(cfg, pcfg, mesh)
+
+
+@pytest.mark.slow
+def test_hband_ghosts_match_single_device(mesh):
+    """ghost_rows=1 (h-band mode) ships one boundary row per side instead
+    of two. Legal only on a coarse neighbor grid (nb_cell >= 2h — here the
+    reference-style cell_size == 2h grid): one coarse row then covers the
+    full 2h exchange depth, so every lambda the project pass consumes
+    (ghosts within h of an own particle) has its complete h-neighborhood
+    inside the shipped row. The mode may diverge from the single-device
+    step only via pairs the frozen stencil keeps across the unshipped
+    outer row (intra-step drift tails) — tolerances here bound that
+    divergence at the order of the exact mode's f32 reassociation. At the
+    production nb_cell == h grid the default two rows are already the
+    physics minimum and ghost_rows=1 is rejected (test below)."""
+    D4 = 4  # coarse grid has ~14 z-rows; 8 slabs of >= 2 cells don't fit
+    cfg = default_config(n=512, nb_cell_size=0.2, max_occupied_cells=640,
+                         cell_capacity=256)
+    assert cfg.nb_cell >= 2 * cfg.h
+    st = spawn(cfg, "dam_break", seed=0)
+    mesh4 = sharded.make_mesh(D4)
+    pcfg = sharded.ParallelConfig.create(cfg, D4, slack=4.0, state=st,
+                                         ghost_rows=1)
+    assert pcfg.ghost_rows == 1
+    step = sharded.make_sharded_step(cfg, pcfg, mesh4, backend="cell")
+    sst = sharded.distribute(cfg, pcfg, st, mesh4)
+    stats = diag = None
+    for _ in range(3):
+        sst, stats, diag = step(sst)
+    got = sharded.collect(sst)
+    stats, diag = np.asarray(stats), np.asarray(diag)
+    want_x, want_v = _run_single(cfg, st, steps=3)
+    assert stats[:, 0].sum() == cfg.n, "particles lost or duplicated"
+    assert stats[:, 1:].sum() == 0, "overflow counters fired"
+    assert diag[:, 2].sum() == 0, "NaN flagged"
+    np.testing.assert_array_equal(np.asarray(got.ids), np.arange(cfg.n))
+    np.testing.assert_allclose(np.asarray(got.x), want_x, rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.v), want_v, rtol=1e-3,
+                               atol=5e-3)
+
+
+def test_hband_requires_wide_cells():
+    """ghost_rows=1 is only sound when one cell-row covers 2h."""
+    cfg = default_config(n=256, h=0.15, max_occupied_cells=384,
+                         cell_capacity=128)  # nb_cell 0.2 < 2h = 0.3
+    pcfg = sharded.ParallelConfig(
+        n_devices=D, capacity=128, mig_capacity=128, ghost_capacity=128,
+        ghost_rows=1)
+    with pytest.raises(ValueError, match="h-band"):
+        sharded._validate_geometry(cfg, pcfg)
