@@ -70,6 +70,10 @@ def main(argv=None) -> int:
     ap.add_argument("--cap-slack", type=float, default=1.6)
     ap.add_argument("--ghost-slack", type=float, default=2.5)
     ap.add_argument("--mig-slack", type=float, default=3.0)
+    ap.add_argument("--occ-slack", type=float, default=1.5,
+                    help="capacity floor multiplier over the worst slab "
+                         "occupancy; the compact settled tier "
+                         "(ParallelConfig.compact) uses 1.2")
     ap.add_argument("--ghost-rows", type=int, default=2, choices=(1, 2),
                     help="1 = h-band ghost mode (docs/SCALING.md section "
                          "6): half the ghost lanes and wire bytes")
@@ -140,7 +144,7 @@ def main(argv=None) -> int:
         pcfg = sharded.ParallelConfig.create(
             cfg, D, state=sstate, slack=args.cap_slack,
             ghost_slack=args.ghost_slack, mig_slack=args.mig_slack,
-            ghost_rows=args.ghost_rows)
+            ghost_rows=args.ghost_rows, occ_slack=args.occ_slack)
         b = sharded.initial_bounds(cfg, D, state=sstate)
         grows = args.ghost_rows
         cz = np.clip((x[:, 2] / cfg.nb_cell).astype(np.int64), 0,
@@ -342,7 +346,8 @@ def main(argv=None) -> int:
                    "single_chip_maxlanes": args.single_maxlanes,
                    "slacks": {"cap": args.cap_slack,
                               "ghost": args.ghost_slack,
-                              "mig": args.mig_slack},
+                              "mig": args.mig_slack,
+                              "occ": args.occ_slack},
                    "single_chip_ms_per_step": round(single_ms, 2)},
         "snapshots": results,
     }

@@ -58,6 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "pod; implies --devices N unless given)")
     p.add_argument("--chunk", type=int, default=20,
                    help="steps per device call (lax.scan length)")
+    p.add_argument("--retier-at", type=int, default=0,
+                   help="mesh path only: once this many steps have run, "
+                        "re-size the per-shard buffers from the CURRENT "
+                        "state (ParallelConfig.compact) and continue — the "
+                        "settled-regime tier of docs/SCALING.md section 6. "
+                        "Costs one recompile + redistribute; overflow "
+                        "counters still abort the run. 0 disables")
     p.add_argument("--metrics", type=str, default=None,
                    help="JSONL metrics path (default: stdout)")
     p.add_argument("--metrics-every", type=int, default=20,
@@ -198,9 +205,29 @@ def _main_mesh(args) -> int:
         return st._replace(step=jnp.asarray(start_step + done, jnp.int32))
 
     done = 0
+    retiered = False
     t_start = time.perf_counter()
     try:
         while done < args.steps:
+            if (args.retier_at and not retiered and done >= args.retier_at):
+                # settled-regime re-tier: compact every per-shard buffer to
+                # the measured occupancy of the current state and rebuild
+                # the (shape-specialized) programs once
+                st = collected()
+                pcfg_old = pcfg
+                pcfg = sharded.ParallelConfig.compact(cfg, D, state=st)
+                rollout = sharded.make_sharded_rollout(
+                    cfg, pcfg, mesh, backend=backend, unroll_steps=chunk)
+                density_diag = sharded.make_sharded_diagnostics(
+                    cfg, pcfg, mesh)
+                sst = sharded.distribute(cfg, pcfg, st, mesh)
+                retiered = True
+                log.log(event="retier", step=start_step + done,
+                        capacity=[pcfg_old.capacity, pcfg.capacity],
+                        ghost_capacity=[pcfg_old.ghost_capacity,
+                                        pcfg.ghost_capacity],
+                        mig_capacity=[pcfg_old.mig_capacity,
+                                      pcfg.mig_capacity])
             this_chunk = min(chunk, args.steps - done)
             if this_chunk != chunk:  # final partial chunk: exact step count
                 rollout = sharded.make_sharded_rollout(
@@ -271,6 +298,9 @@ def main(argv=None) -> int:
 
     if args.devices > 1:
         return _main_mesh(args)
+    if args.retier_at:
+        print("warning: --retier-at applies only to the mesh path "
+              "(--devices N); ignored", file=sys.stderr)
 
     if args.resume:
         cfg, state = checkpoint.load(args.resume)

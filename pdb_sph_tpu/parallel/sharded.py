@@ -127,13 +127,13 @@ class ParallelConfig:
     def create(cfg: SimConfig, n_devices: int, slack: float = 1.6,
                state: SimState | None = None, rebalance: bool = True,
                ghost_slack: float = 2.5, mig_slack: float = 3.0,
-               ghost_rows: int = 2):
+               ghost_rows: int = 2, occ_slack: float = 1.5):
         """Size the per-shard buffers.
 
         With rebalancing (default) the boundaries keep shards near n/D, so
         `slack` only covers transients; pass `state=` to floor capacity at
-        1.5x the measured worst-slab occupancy of the initial *quantile*
-        split (a CONCENTRATED scene at row granularity — blowup in a
+        occ_slack x the measured worst-slab occupancy of the initial
+        *quantile* split (a CONCENTRATED scene at row granularity — blowup in a
         handful of z-rows — can exceed the even share even under balanced
         boundaries).
 
@@ -190,7 +190,7 @@ class ParallelConfig:
             )
             dest = np.searchsorted(b[1:-1], cz, side="right")
             occ_max = int(np.bincount(dest, minlength=n_devices).max())
-            cap = max(cap, int(np.ceil(occ_max * 1.5 / 128) * 128))
+            cap = max(cap, int(np.ceil(occ_max * occ_slack / 128) * 128))
             lo, hi = b[dest], b[dest + 1]
             two_row = max(
                 int(np.bincount(dest[cz < lo + ghost_rows],
@@ -221,6 +221,36 @@ class ParallelConfig:
             z_cells_hi=z_hi,
             ghost_rows=ghost_rows,
         )
+
+    @staticmethod
+    def compact(cfg: SimConfig, n_devices: int, state: SimState,
+                occ_slack: float = 1.2, ghost_slack: float = 1.25,
+                mig_slack: float = 2.0, ghost_rows: int = 2):
+        """The settled-regime tier: re-size every per-shard buffer from the
+        CURRENT state with tight slacks (docs/SCALING.md section 6, levers
+        2-3). The default spawn-time sizing pays for the spawn transient on
+        every step of the run — ghost lanes at 2.5x the spawn boundary-row
+        population, capacity at 1.5x the spawn worst slab — and every lane
+        of those fixed-shape buffers rides the per-shard sort, the segment
+        plan, and the candidate stream whether occupied or not. Once the
+        flow settles (per-shard populations stable, OCC_1M_BALANCED.json),
+        re-tiering at measured occupancy cuts ~half the ghost lanes and
+        ~20% of the capacity lanes at 1M x 8.
+
+        Shapes change, so a re-tier costs one recompile + one redistribute
+        (the CLI's --retier-at). Safety is unchanged: the overflow counters
+        (summed per chunk) remain the hard gate — a compact tier can only
+        truncate LOUDLY, and the caller falls back to the spawn tier by
+        simply re-creating it. Tight-slack rationale: the 240-step 1M
+        collapse measured boundary-row drift after settling well inside
+        1.25x, and the boundary tracker holds slab occupancy near the
+        quantile split (docs/SCALING.md section 4)."""
+        if state is None:
+            raise ValueError("the compact tier sizes from the current "
+                             "state; pass state=")
+        return ParallelConfig.create(
+            cfg, n_devices, slack=1.0, state=state, ghost_slack=ghost_slack,
+            mig_slack=mig_slack, ghost_rows=ghost_rows, occ_slack=occ_slack)
 
 
 def _validate_geometry(cfg: SimConfig, pcfg: ParallelConfig) -> None:

@@ -236,12 +236,15 @@ def test_cli_mesh_smoke(tmp_path):
         "--backend", "cell", "--devices", "8", "--metrics", metrics,
         "--metrics-every", "2", "--render-every", "2",
         "--out", str(tmp_path / "fr"), "--width", "64", "--height", "48",
-        "--checkpoint", ck, "--max-occ", "384",
+        "--checkpoint", ck, "--max-occ", "384", "--retier-at", "2",
     ])
     assert rc == 0
     lines = [json.loads(l) for l in open(metrics)]
     assert lines[0]["event"] == "start" and lines[0]["devices"] == 8
     assert lines[-1]["event"] == "done"
+    retier = [l for l in lines if l.get("event") == "retier"]
+    assert len(retier) == 1 and retier[0]["step"] == 2
+    assert retier[0]["capacity"][1] <= retier[0]["capacity"][0]
     prog = [l for l in lines if l.get("event") == "progress"]
     assert all(not l["nan_detected"] for l in prog)
     assert all(sum(l["per_shard_active"]) == 256 for l in prog)

@@ -384,3 +384,40 @@ def test_hband_requires_wide_cells():
         ghost_rows=1)
     with pytest.raises(ValueError, match="h-band"):
         sharded._validate_geometry(cfg, pcfg)
+
+
+@pytest.mark.slow
+def test_retier_compact_matches_single_device(mesh):
+    """ParallelConfig.compact (the settled-regime tier, docs/SCALING.md
+    section 6 levers 2-3): collect -> compact -> distribute mid-run must
+    continue the trajectory exactly (modulo f32 reassociation across the
+    new shard order) with tighter buffers and zero overflow — the CLI's
+    --retier-at is this sequence plus a rollout rebuild."""
+    cfg = default_config(n=512, max_occupied_cells=640, cell_capacity=128)
+    st = spawn(cfg, "dam_break", seed=0)
+    pcfg = sharded.ParallelConfig.create(cfg, D, slack=4.0, state=st)
+    step = sharded.make_sharded_step(cfg, pcfg, mesh, backend="cell")
+    sst = sharded.distribute(cfg, pcfg, st, mesh)
+    for _ in range(3):
+        sst, stats, diag = step(sst)
+    mid = sharded.collect(sst)
+    pcfg2 = sharded.ParallelConfig.compact(cfg, D, state=mid)
+    assert pcfg2.capacity <= pcfg.capacity
+    assert pcfg2.ghost_capacity <= pcfg.ghost_capacity
+    assert pcfg2.mig_capacity <= pcfg.mig_capacity
+    step2 = sharded.make_sharded_step(cfg, pcfg2, mesh, backend="cell")
+    sst = sharded.distribute(cfg, pcfg2, mid, mesh)
+    stats = diag = None
+    for _ in range(3):
+        sst, stats, diag = step2(sst)
+    got = sharded.collect(sst)
+    stats, diag = np.asarray(stats), np.asarray(diag)
+    want_x, want_v = _run_single(cfg, st, steps=6)
+    assert stats[:, 0].sum() == cfg.n, "particles lost or duplicated"
+    assert stats[:, 1:].sum() == 0, "overflow counters fired"
+    assert diag[:, 2].sum() == 0, "NaN flagged"
+    np.testing.assert_array_equal(np.asarray(got.ids), np.arange(cfg.n))
+    np.testing.assert_allclose(np.asarray(got.x), want_x, rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.v), want_v, rtol=1e-3,
+                               atol=5e-3)
