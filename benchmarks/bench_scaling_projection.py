@@ -145,18 +145,17 @@ def main(argv=None) -> int:
             cfg, D, state=sstate, slack=args.cap_slack,
             ghost_slack=args.ghost_slack, mig_slack=args.mig_slack,
             ghost_rows=args.ghost_rows, occ_slack=args.occ_slack)
-        b = sharded.initial_bounds(cfg, D, state=sstate)
-        grows = args.ghost_rows
-        cz = np.clip((x[:, 2] / cfg.nb_cell).astype(np.int64), 0,
-                     cfg.nb_grid_width - 1)
-        dest = np.searchsorted(b[1:-1], cz, side="right")
+        b = sharded.initial_bounds(cfg, D, state=sstate)   # zx-key bounds
+        gband = sharded._ghost_band_keys(cfg, args.ghost_rows)
+        key = sharded._np_zxkey(cfg, x)
+        dest = np.searchsorted(b[1:-1], key, side="right")
         occ = np.bincount(dest, minlength=D)
         d = int(np.argmax(occ))
         lo, hi = int(b[d]), int(b[d + 1])
         own_sel = np.nonzero(dest == d)[0]
-        gl_sel = (np.nonzero((dest == d - 1) & (cz >= lo - grows))[0]
+        gl_sel = (np.nonzero((dest == d - 1) & (key >= lo - gband))[0]
                   if d > 0 else np.zeros(0, np.int64))
-        gr_sel = (np.nonzero((dest == d + 1) & (cz < hi + grows))[0]
+        gr_sel = (np.nonzero((dest == d + 1) & (key < hi + gband))[0]
                   if d < D - 1 else np.zeros(0, np.int64))
         cap, gcap, mcap = (pcfg.capacity, pcfg.ghost_capacity,
                            pcfg.mig_capacity)
@@ -199,8 +198,8 @@ def main(argv=None) -> int:
             # received buffers are the packed sends — self-loopback keeps
             # the shapes and the work; content is ~empty like a settled
             # interior shard's)
-            czj = sharded._zcell(cfg, p)
-            dest_j = jnp.sum((czj[:, None]
+            keyj = sharded._zxkey(cfg, p)
+            dest_j = jnp.sum((keyj[:, None]
                               >= jnp.asarray(b[1:D])[None, :]).astype(
                                   jnp.int32), axis=1)
             dc = jnp.clip(dest_j, d - 1, d + 1)
@@ -243,11 +242,11 @@ def main(argv=None) -> int:
 
             # frozen ghost packing over the local array (the exact
             # per-step selection work)
-            cz2 = sharded._zcell(cfg, p2)
+            key2 = sharded._zxkey(cfg, p2)
             gl_idx, gl_ok, _ = sharded._pack_rows(
-                active2 & (cz2 < zlo + grows), gcap)
+                active2 & (key2 < zlo + gband), gcap)
             gr_idx, gr_ok, _ = sharded._pack_rows(
-                active2 & (cz2 >= zhi - grows), gcap)
+                active2 & (key2 >= zhi - gband), gcap)
 
             def exchange_ghosts(p_now):
                 # the refresh GLUE: build both outgoing buffers from p_now

@@ -6,8 +6,8 @@ steps (and capacity variants) can ever be checked that way. This script gets
 the same sizing answer from the real chip instead: it runs the 1M dam break
 single-chip (2-3 steps/s on a v5e), and after every chunk computes — on the
 host, with the balanced-quantile slab geometry of `parallel/sharded.py`
-(`initial_bounds` / the two-boundary-row ghost selection; the in-run
-boundary tracker follows the per-snapshot quantile ideal within ~a row) —
+(`initial_bounds` / the boundary key-band ghost selection; the in-run
+boundary tracker follows the per-snapshot quantile ideal within ~a strip) —
 what every per-shard capacity WOULD need to be on a D-device mesh at that
 instant:
 
@@ -47,30 +47,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def balanced_bounds(cz: np.ndarray, w: int, n_dev: int) -> np.ndarray:
-    """Quantile slab boundaries for one snapshot — the same construction as
-    parallel/sharded.py initial_bounds (>= 2 cells per slab). The in-run
-    boundary tracker follows this ideal within ~a row, so per-snapshot
+def balanced_bounds(key: np.ndarray, w: int, n_dev: int,
+                    min_w: int) -> np.ndarray:
+    """Quantile slab boundaries in zx-KEY units for one snapshot — the
+    same construction as parallel/sharded.py initial_bounds (round 5:
+    sub-row decomposition, exact to one x-cell). The in-run boundary
+    tracker follows this ideal within ~a move strip, so per-snapshot
     re-quantiling is the right capacity model for a balanced mesh run."""
-    hist = np.bincount(cz, minlength=w)
+    K = w * w
+    hist = np.bincount(key, minlength=K)
     cum = np.cumsum(hist)
     n = int(cum[-1])
     b = np.zeros(n_dev + 1, np.int64)
-    b[n_dev] = w
+    b[n_dev] = K
     for d in range(1, n_dev):
         cand = int(np.searchsorted(cum, n * d // n_dev, side="left")) + 1
-        b[d] = min(max(cand, b[d - 1] + 2), w - 2 * (n_dev - d))
+        b[d] = min(max(cand, b[d - 1] + min_w), K - min_w * (n_dev - d))
     return b
 
 
-def slab_table_stats(x: np.ndarray, nb_cell: float, w: int, n_dev: int):
+def slab_table_stats(x: np.ndarray, nb_cell: float, w: int, n_dev: int,
+                     min_w: int, gband: int):
     """Per-slab (particles, ghosts_in, table_rows) for one snapshot under
-    the balanced (quantile) decomposition."""
+    the balanced (quantile) sub-row decomposition."""
     ijk = np.clip((x / nb_cell).astype(np.int64), 0, w - 1)
     cid = ijk[:, 0] + w * ijk[:, 1] + (w * w) * ijk[:, 2]
-    cz = ijk[:, 2]
-    b = balanced_bounds(cz, w, n_dev)
-    slab = np.searchsorted(b[1:-1], cz, side="right")
+    key = ijk[:, 2] * w + ijk[:, 0]
+    b = balanced_bounds(key, w, n_dev, min_w)
+    slab = np.searchsorted(b[1:-1], key, side="right")
 
     rows = np.zeros(n_dev, np.int64)
     parts = np.zeros(n_dev, np.int64)
@@ -78,10 +82,12 @@ def slab_table_stats(x: np.ndarray, nb_cell: float, w: int, n_dev: int):
     for d in range(n_dev):
         lo, hi = b[d], b[d + 1]
         local = slab == d
-        # two boundary cell-rows from each adjacent shard (sharded.py
+        # the boundary key-band from each adjacent shard (sharded.py
         # ghost_l/ghost_r selections, receiver's view)
-        from_left = (slab == d - 1) & (cz >= lo - 2) if d > 0 else np.zeros_like(local)
-        from_right = (slab == d + 1) & (cz < hi + 2) if d < n_dev - 1 else np.zeros_like(local)
+        from_left = ((slab == d - 1) & (key >= lo - gband) if d > 0
+                     else np.zeros_like(local))
+        from_right = ((slab == d + 1) & (key < hi + gband) if d < n_dev - 1
+                      else np.zeros_like(local))
         ghost = from_left | from_right
         parts[d] = int(local.sum())
         ghosts[d] = int(max(from_left.sum(), from_right.sum()))
@@ -110,6 +116,10 @@ def main(argv=None) -> int:
     rollout = make_rollout(cfg, backend=auto_backend(),
                            unroll_steps=args.chunk)
 
+    from pdb_sph_tpu.parallel import sharded
+
+    min_w = sharded._min_slab_keys(cfg)
+    gband = sharded._ghost_band_keys(cfg, 2)
     max_parts = np.zeros(args.devices, np.int64)
     max_ghosts = np.zeros(args.devices, np.int64)
     max_rows = np.zeros(args.devices, np.int64)
@@ -119,7 +129,7 @@ def main(argv=None) -> int:
         x = np.asarray(state.x)
         assert np.isfinite(x).all(), f"non-finite state at step {state.step}"
         parts, ghosts, rows = slab_table_stats(
-            x, cfg.nb_cell, w, args.devices)
+            x, cfg.nb_cell, w, args.devices, min_w, gband)
         max_parts = np.maximum(max_parts, parts)
         max_ghosts = np.maximum(max_ghosts, ghosts)
         max_rows = np.maximum(max_rows, rows)
@@ -132,7 +142,7 @@ def main(argv=None) -> int:
         "artifact": "per-shard capacity sizing for the 1M x 8-device config, "
                     "measured from a single-chip hardware run",
         "config": {"n": args.n, "devices": args.devices, "wall": wall,
-                   "nb_grid_width": w, "decomposition": "balanced-quantile",
+                   "nb_grid_width": w, "decomposition": "balanced-quantile-zxkey",
                    "steps": args.steps, "sample_every": args.chunk,
                    "PBF_MAXLANES": os.environ["PBF_MAXLANES"]},
         "max_particles_per_slab": max_parts.tolist(),

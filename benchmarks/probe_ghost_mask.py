@@ -86,20 +86,20 @@ def main(argv=None) -> int:
                 done_steps += 20
         x = np.asarray(state.x)
 
-        # --- balanced decomposition of the snapshot -------------------
+        # --- balanced decomposition of the snapshot (zx-key) ----------
         pcfg = sharded.ParallelConfig.create(cfg, D, state=state)
         b = sharded.initial_bounds(cfg, D, state=state)
-        cz = np.clip((x[:, 2] / cfg.nb_cell).astype(np.int64), 0,
-                     cfg.nb_grid_width - 1)
-        dest = np.searchsorted(b[1:-1], cz, side="right")
+        gband = sharded._ghost_band_keys(cfg, 2)
+        key = sharded._np_zxkey(cfg, x)
+        dest = np.searchsorted(b[1:-1], key, side="right")
         occ = np.bincount(dest, minlength=D)
         d = int(np.argmax(occ))
         lo, hi = int(b[d]), int(b[d + 1])
         own_sel = np.nonzero(dest == d)[0]
         ghost_sel = np.concatenate([
-            np.nonzero((dest == d - 1) & (cz >= lo - 2))[0] if d > 0
+            np.nonzero((dest == d - 1) & (key >= lo - gband))[0] if d > 0
             else np.zeros(0, np.int64),
-            np.nonzero((dest == d + 1) & (cz < hi + 2))[0] if d < D - 1
+            np.nonzero((dest == d + 1) & (key < hi + gband))[0] if d < D - 1
             else np.zeros(0, np.int64),
         ])
         cap = pcfg.capacity

