@@ -106,6 +106,24 @@ def row_1m() -> dict:
     return r
 
 
+def row_2m() -> dict:
+    """Weak-scaling anchor above 1M (VERDICT round 4 item 3): the 2M dam
+    break, box scaled to rest density (wall = 2*(2M/80k)^(1/3) = 5.85,
+    ~29 occupied z-rows). SCALING.md section 5's forward model had zero
+    measured points above n=1M (the 4M attempt crashed the tunneled
+    worker); this row anchors the granularity formula one doubling up."""
+    from pdb_sph_tpu.geometry import geometry_from_env
+
+    geom = dataclasses.replace(geometry_from_env(),
+                               maxlanes=ROW_1M_MAXLANES)
+    r = run_row("dam_break", 2_000_000, chunk=10, reps=2, wall=5.85,
+                diag=True, geom=geom)
+    r["reference"] = {"claim": "no reference configuration at this scale",
+                      "source": "BASELINE.md:24 (scaled)"}
+    r["geom"] = {"maxlanes": geom.maxlanes}
+    return r
+
+
 def row_1m_blowup() -> dict:
     """Extreme-occupancy capacity row (VERDICT round 3 item 5): the
     concentrated-spawn stress at 1M scale. The box-relative blowup ball
@@ -125,29 +143,16 @@ def row_1m_blowup() -> dict:
     return r
 
 
-def main() -> int:
-    rows = []
-
-    r = run_row("standard", 40_000)
-    r["reference"] = {"steps_per_sec": 60.0, "source": "README.md:5"}
-    r["vs_baseline"] = round(r["steps_per_sec"] / 60.0, 3)
-    rows.append(r)
-    print(json.dumps(r))
-
-    r = run_row("dam_break", 80_000)
-    r["reference"] = {"steps_per_sec": 60.0, "source": "README.md:9"}
-    r["vs_baseline"] = round(r["steps_per_sec"] / 60.0, 3)
-    rows.append(r)
-    print(json.dumps(r))
-
+ROW_FNS = {
+    "standard40k": lambda: _ref60(run_row("standard", 40_000),
+                                  "README.md:5"),
+    "dam80k": lambda: _ref60(run_row("dam_break", 80_000), "README.md:9"),
     # blowup: run long enough to cover the explosion + recovery phase
     # (the reference claim is stability, not speed — README.md:13)
-    r = run_row("blowup", 80_000, settle_chunks=10, diag=True)
-    r["reference"] = {"claim": "stable, recovers to equilibrium",
-                      "source": "README.md:13"}
-    rows.append(r)
-    print(json.dumps(r))
-
+    "blowup80k": lambda: dict(
+        run_row("blowup", 80_000, settle_chunks=10, diag=True),
+        reference={"claim": "stable, recovers to equilibrium",
+                   "source": "README.md:13"}),
     # 1M single-chip feasibility: fewer reps (each chunk is ~seconds), one
     # settle chunk; the number bounds the per-chip share of a v5e-8 mesh.
     # The box scales to keep the dam at rest density (wall = 2*(n/80k)^(1/3)
@@ -155,14 +160,55 @@ def main() -> int:
     # rest density, and an overpacked spawn both degenerates the physics and
     # truncates the candidate plan). Raised candidate capacity rides the
     # config's geometry (ROW_1M_MAXLANES above).
-    r = row_1m()
-    rows.append(r)
-    print(json.dumps(r))
-
+    "dam1m": row_1m,
+    "dam2m": row_2m,
     # 1M concentrated-spawn stress: capacity story at extreme occupancy
-    r = row_1m_blowup()
-    rows.append(r)
-    print(json.dumps(r))
+    "blowup1m": row_1m_blowup,
+}
+
+
+def _ref60(r, source):
+    r["reference"] = {"steps_per_sec": 60.0, "source": source}
+    r["vs_baseline"] = round(r["steps_per_sec"] / 60.0, 3)
+    return r
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=str, default=",".join(ROW_FNS),
+                    help="comma-separated subset of rows to (re)run; other "
+                         "rows are kept from the existing artifact so a "
+                         "single new row can be measured without paying "
+                         "for the whole matrix")
+    args = ap.parse_args(argv)
+    want = [r.strip() for r in args.rows.split(",") if r.strip()]
+    unknown = set(want) - set(ROW_FNS)
+    if unknown:
+        print(f"unknown rows: {sorted(unknown)}; have {list(ROW_FNS)}",
+              file=sys.stderr)
+        return 2
+
+    old = {}
+    if os.path.exists(OUT) and set(want) != set(ROW_FNS):
+        with open(OUT) as f:
+            for row in json.load(f).get("rows", []):
+                old[(row["scene"], row["n"])] = row
+
+    rows = []
+    done = {}
+    for name in ROW_FNS:
+        if name in want:
+            r = ROW_FNS[name]()
+            done[name] = r
+            rows.append(r)
+            print(json.dumps(r))
+        else:
+            # carry the prior measurement forward, marked as such
+            for row in old.values():
+                if row not in rows and _matches(name, row):
+                    rows.append(row)
 
     art = {"artifact": "BASELINE.md benchmark matrix",
            "hardware": "1x TPU v5e (tunneled)",
@@ -171,6 +217,16 @@ def main() -> int:
         json.dump(art, f, indent=1)
     print(f"wrote {OUT}")
     return 0
+
+
+def _matches(name, row):
+    spec = {"standard40k": ("standard", 40_000),
+            "dam80k": ("dam_break", 80_000),
+            "blowup80k": ("blowup", 80_000),
+            "dam1m": ("dam_break", 1_000_000),
+            "dam2m": ("dam_break", 2_000_000),
+            "blowup1m": ("blowup", 1_000_000)}[name]
+    return (row["scene"], row["n"]) == spec
 
 
 if __name__ == "__main__":

@@ -305,6 +305,41 @@ def test_initial_bounds_equalize_counts():
     assert occ.min() >= 0.90 * occ.mean(), f"bad split: {occ.tolist()}"
 
 
+def test_ghost_band_covers_every_split_position():
+    """Exchange sufficiency of the 2W+2-key ghost band, brute-forced over
+    EVERY x-split position of a mid-row boundary: every cell an own
+    particle's density touches, and every cell a consumed ghost lambda's
+    density touches, is owned-or-shipped. This is the discrete form of the
+    module docstring's 2h-depth argument, extended to the x-split corner
+    the +2 margin exists for."""
+    import itertools
+
+    W = 13
+    R = 5                                  # boundary row under test
+
+    def near(c):
+        r, x = c
+        return [(r + dr, x + dx) for dr in (-1, 0, 1) for dx in (-1, 0, 1)
+                if 0 <= r + dr < W and 0 <= x + dx < W]
+
+    def key(c):
+        return c[0] * W + c[1]
+
+    band = 2 * W + 2                       # _ghost_band_keys at ghost_rows=2
+    cells = list(itertools.product(range(W), range(W)))
+    for s in range(W):                     # every split position in the row
+        K = R * W + s
+        owned = {c for c in cells if key(c) < K}
+        shipped = {c for c in cells if K <= key(c) < K + band}
+        for c in owned:
+            for nb in near(c):
+                assert nb in owned or nb in shipped, (s, c, nb)
+        consumed = {nb for c in owned for nb in near(c) if nb in shipped}
+        for g in consumed:
+            for nb in near(g):
+                assert nb in owned or nb in shipped, (s, g, nb)
+
+
 def test_pack_rows_matches_reference():
     """The cumsum/scatter pack must behave exactly like the old stable
     argsort pack: True slots first in input order, overflow counted."""
