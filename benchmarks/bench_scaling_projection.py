@@ -57,6 +57,14 @@ COLL_LAT_US = 2.0        # per-collective latency allowance, us
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--wall", type=float, default=0.0,
+                    help="box size; 0 = the scaled flagship box "
+                         "2*(n/80k)^(1/3) (BENCH_MATRIX's 1M row, "
+                         "BASELINE.md:24). Rounds 3-4 projected the 1M "
+                         "dam inside the UNSCALED reference box "
+                         "(wall=2.0, 12.5x rest density) because this "
+                         "flag didn't exist — pass --wall 2.0 to "
+                         "reproduce those (adversarially dense) numbers")
     ap.add_argument("--devices", type=int, nargs="+", default=[8])
     ap.add_argument("--snap-steps", type=int, nargs="+", default=[0, 120])
     ap.add_argument("--steps-per-timing", type=int, default=10)
@@ -94,10 +102,15 @@ def main(argv=None) -> int:
     from pdb_sph_tpu.utils.timing import host_sync
 
     enable_compilation_cache()
+    import numpy as _np
+
+    wall = args.wall or round(2.0 * (args.n / 80_000.0) ** (1.0 / 3.0), 2)
+    grid_width = max(40, int(_np.ceil(wall * 1.25 / 0.2)))
     geom = dataclasses.replace(geometry_from_env(), maxlanes=args.maxlanes)
-    cfg = pbf.default_config(n=args.n, geom=geom)
+    cfg = pbf.default_config(n=args.n, wall=wall, grid_width=grid_width,
+                             geom=geom)
     cfg1 = pbf.default_config(
-        n=args.n,
+        n=args.n, wall=wall, grid_width=grid_width,
         geom=dataclasses.replace(geometry_from_env(),
                                  maxlanes=args.single_maxlanes))
 
@@ -339,7 +352,9 @@ def main(argv=None) -> int:
         "hardware": "1x TPU v5e (tunneled); wire model: "
                     f"{ICI_GBPS} GB/s/link one-way + {COLL_LAT_US} us "
                     "per collective, zero compute/comm overlap assumed",
-        "config": {"n": args.n, "devices": args.devices,
+        "config": {"n": args.n, "wall": wall,
+                   "nb_grid_width": cfg.nb_grid_width,
+                   "devices": args.devices,
                    "solver_iters": cfg.solver_iters,
                    "maxlanes": geom.maxlanes,
                    "single_chip_maxlanes": args.single_maxlanes,

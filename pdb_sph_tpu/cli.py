@@ -71,6 +71,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "spawn tier (re-created from the current state) and "
                         "continues; spawn-tier overflow aborts rc=2. "
                         "0 disables")
+    p.add_argument("--retier-maxlanes", type=int, default=0,
+                   help="mesh path only, with --retier-at: also tighten the "
+                        "candidate-plan lane budget (geom.maxlanes) at the "
+                        "re-tier — the settled flow needs far fewer "
+                        "candidate lanes than the spawn transient "
+                        "(docs/SCALING.md section 2b: 49152 measured ~8% "
+                        "faster per shard than the spawn-transient 131072 "
+                        "at 1M x 8, zero overflow at every D; the stock "
+                        "31744 truncated at D=4). "
+                        "Protected like every compact knob: plan overflow "
+                        "triggers the spawn-tier fallback, restoring the "
+                        "original budget. 0 keeps the run's geometry")
     p.add_argument("--allow-overflow", action="store_true",
                    help="downgrade the neighbor-structure/exchange overflow "
                         "abort (rc=2) to a loud warning — overflow "
@@ -221,13 +233,18 @@ def _main_mesh(args) -> int:
               f"final step {start_step + args.steps}; the re-tier will "
               "never fire", file=sys.stderr)
 
-    def rebuild(new_pcfg, st):
-        nonlocal pcfg, rollout, density_diag, sst
+    cfg_active = cfg  # the compact tier may tighten geom.maxlanes
+
+    def rebuild(new_pcfg, st, new_cfg=None):
+        nonlocal pcfg, rollout, density_diag, sst, cfg_active
         pcfg = new_pcfg
+        if new_cfg is not None:
+            cfg_active = new_cfg
         rollout = sharded.make_sharded_rollout(
-            cfg, pcfg, mesh, backend=backend, unroll_steps=chunk)
-        density_diag = sharded.make_sharded_diagnostics(cfg, pcfg, mesh)
-        sst = sharded.distribute(cfg, pcfg, st, mesh)
+            cfg_active, pcfg, mesh, backend=backend, unroll_steps=chunk)
+        density_diag = sharded.make_sharded_diagnostics(cfg_active, pcfg,
+                                                        mesh)
+        sst = sharded.distribute(cfg_active, pcfg, st, mesh)
 
     done = 0
     tier = "spawn"
@@ -242,8 +259,14 @@ def _main_mesh(args) -> int:
                 # the (shape-specialized) programs once
                 st = collected()
                 pcfg_old = pcfg
+                cfg2 = cfg
+                if args.retier_maxlanes:
+                    import dataclasses as _dc
+
+                    cfg2 = _dc.replace(cfg, geom=_dc.replace(
+                        cfg.geom, maxlanes=args.retier_maxlanes))
                 rebuild(sharded.ParallelConfig.compact(
-                    cfg, D, state=st, prior=pcfg), st)
+                    cfg, D, state=st, prior=pcfg), st, new_cfg=cfg2)
                 retiered = True
                 tier = "compact"
                 log.log(event="retier", step=start_step + done,
@@ -251,11 +274,13 @@ def _main_mesh(args) -> int:
                         ghost_capacity=[pcfg_old.ghost_capacity,
                                         pcfg.ghost_capacity],
                         mig_capacity=[pcfg_old.mig_capacity,
-                                      pcfg.mig_capacity])
+                                      pcfg.mig_capacity],
+                        maxlanes=[cfg.geom.maxlanes,
+                                  cfg_active.geom.maxlanes])
             this_chunk = min(chunk, args.steps - done)
             if this_chunk != chunk:  # final partial chunk: exact step count
                 rollout = sharded.make_sharded_rollout(
-                    cfg, pcfg, mesh, backend=backend,
+                    cfg_active, pcfg, mesh, backend=backend,
                     unroll_steps=this_chunk)
             t0 = time.perf_counter()
             sst, stats, sdiag = rollout(sst)
@@ -304,9 +329,12 @@ def _main_mesh(args) -> int:
                           file=sys.stderr)
                     st = collected()
                     pcfg_old = pcfg
+                    # the fallback also restores the original geometry
+                    # (a tightened --retier-maxlanes budget is a compact-
+                    # tier knob and must not survive the tier)
                     rebuild(sharded.ParallelConfig.create(
                         cfg, D, state=st, rebalance=pcfg.rebalance,
-                        ghost_rows=pcfg.ghost_rows), st)
+                        ghost_rows=pcfg.ghost_rows), st, new_cfg=cfg)
                     tier = "spawn"
                     log.log(event="tier_fallback", step=step_no,
                             overflows=record["overflows"],

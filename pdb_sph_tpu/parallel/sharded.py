@@ -242,19 +242,26 @@ class ParallelConfig:
 
     @staticmethod
     def compact(cfg: SimConfig, n_devices: int, state: SimState,
-                occ_slack: float = 1.2, ghost_slack: float = 1.25,
+                occ_slack: float = 1.1, ghost_slack: float = 1.1,
                 mig_slack: float = 2.0, ghost_rows: int = 2,
                 prior: "ParallelConfig | None" = None):
         """The settled-regime tier: re-size every per-shard buffer from the
         CURRENT state with tight slacks (docs/SCALING.md section 6, levers
         2-3). The default spawn-time sizing pays for the spawn transient on
-        every step of the run — ghost lanes at 2.5x the spawn boundary-row
+        every step of the run — ghost lanes at 2.5x the spawn ghost-band
         population, capacity at 1.5x the spawn worst slab — and every lane
         of those fixed-shape buffers rides the per-shard sort, the segment
         plan, and the candidate stream whether occupied or not. Once the
         flow settles (per-shard populations stable, OCC_1M_BALANCED.json),
         re-tiering at measured occupancy cuts ~half the ghost lanes and
-        ~20% of the capacity lanes at 1M x 8.
+        ~30% of the capacity lanes at 1M x 8.
+
+        The 1.1x defaults (round 5; were 1.2/1.25 in round 4) are the
+        measured flagship tier (docs/SCALING.md section 2b) and are SAFE
+        to run tight because overflow is no longer merely loud: the CLI
+        falls back to the spawn tier on any nonzero chunk-summed counter,
+        so the worst case of an underestimate is one chunk of softened
+        boundary physics plus a rebuild, not a wrong run.
 
         Shapes change, so a re-tier costs one recompile + one redistribute
         (the CLI's --retier-at). Safety is unchanged: the overflow counters

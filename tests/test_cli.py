@@ -106,12 +106,14 @@ def test_cli_retier_overflow_falls_back_to_spawn_tier(tmp_path, monkeypatch):
     metrics = str(tmp_path / "m.jsonl")
     rc = main(["--scene", "dam_break", "--n", "4096", "--steps", "6",
                "--chunk", "2", "--backend", "cell", "--devices", "2",
-               "--retier-at", "2", "--metrics", metrics,
-               "--metrics-every", "0"])
+               "--retier-at", "2", "--retier-maxlanes", "16384",
+               "--metrics", metrics, "--metrics-every", "0"])
     assert rc == 0, "fallback must recover, not abort"
     lines = [json.loads(l) for l in open(metrics)]
     events = [l["event"] for l in lines]
     assert "retier" in events
+    retier = [l for l in lines if l["event"] == "retier"][0]
+    assert retier["maxlanes"][1] == 16384  # compact tier tightens the budget
     fb = [l for l in lines if l["event"] == "tier_fallback"]
     assert len(fb) == 1 and sum(fb[0]["overflows"]) > 0
     # the fallback tier is the spawn-style sizing: ghosts re-grown
