@@ -65,7 +65,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "immediately when the resumed state is already past "
                         "N), re-size the per-shard buffers from the CURRENT "
                         "state (ParallelConfig.compact) and continue — the "
-                        "settled-regime tier of docs/SCALING.md section 6. "
+                        "settled-regime tier of docs/SCALING.md section 5. "
                         "Costs one recompile + redistribute. If the compact "
                         "tier ever overflows, the run falls back to the "
                         "spawn tier (re-created from the current state) and "
@@ -76,7 +76,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "candidate-plan lane budget (geom.maxlanes) at the "
                         "re-tier — the settled flow needs far fewer "
                         "candidate lanes than the spawn transient "
-                        "(docs/SCALING.md section 2b: 49152 measured ~8% "
+                        "(docs/SCALING.md section 4: 49152 measured ~8% "
                         "faster per shard than the spawn-transient 131072 "
                         "at 1M x 8, zero overflow at every D; the stock "
                         "31744 truncated at D=4). "

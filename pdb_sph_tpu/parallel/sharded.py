@@ -137,7 +137,7 @@ class ParallelConfig:
                            # divergence from single-device parity is the
                            # intra-step drift tail across the unshipped
                            # outer row, bounded by the h-band parity
-                           # test. docs/SCALING.md section 6.
+                           # test. docs/SCALING.md section 9.
     z_cells_hi: int = 0    # legacy even-split range for rebalance=False:
                            # slabs evenly partition z-cells [0, z_cells_hi);
                            # 0 -> full grid width. Ignored when rebalancing
@@ -246,8 +246,8 @@ class ParallelConfig:
                 mig_slack: float = 2.0, ghost_rows: int = 2,
                 prior: "ParallelConfig | None" = None):
         """The settled-regime tier: re-size every per-shard buffer from the
-        CURRENT state with tight slacks (docs/SCALING.md section 6, levers
-        2-3). The default spawn-time sizing pays for the spawn transient on
+        CURRENT state with tight slacks (docs/SCALING.md section 5).
+        The default spawn-time sizing pays for the spawn transient on
         every step of the run — ghost lanes at 2.5x the spawn ghost-band
         population, capacity at 1.5x the spawn worst slab — and every lane
         of those fixed-shape buffers rides the per-shard sort, the segment
@@ -257,7 +257,7 @@ class ParallelConfig:
         ~30% of the capacity lanes at 1M x 8.
 
         The 1.1x defaults (round 5; were 1.2/1.25 in round 4) are the
-        measured flagship tier (docs/SCALING.md section 2b) and are SAFE
+        measured flagship tier (docs/SCALING.md section 3) and are SAFE
         to run tight because overflow is no longer merely loud: the CLI
         falls back to the spawn tier on any nonzero chunk-summed counter,
         so the worst case of an underestimate is one chunk of softened
@@ -273,7 +273,7 @@ class ParallelConfig:
         tests/test_cli.py's forced-overflow cases). Tight-slack rationale:
         the 240-step 1M collapse measured boundary-row drift after
         settling well inside 1.25x, and the boundary tracker holds slab
-        occupancy near the quantile split (docs/SCALING.md section 4).
+        occupancy near the quantile split (docs/SCALING.md section 7).
 
         Pass `prior=` (the tier being replaced) to carry its mode flags —
         rebalance and ghost_rows — through the re-tier; otherwise a
