@@ -40,6 +40,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="constraint solver iterations (reference: 3)")
     p.add_argument("--cell-size", type=float, default=0.2)
     p.add_argument("--grid-width", type=int, default=40)
+    p.add_argument("--wall", type=float, default=0.0,
+                   help="box upper bound (reference: 2.0, "
+                        "src/FluidSimulator.cu:358). Scaled runs keep rest "
+                        "density with wall = 2*(n/80k)^(1/3) — e.g. 4.64 "
+                        "at n=1M with --grid-width 29 (BASELINE.md:24). "
+                        "0 = reference box")
     p.add_argument("--cell-capacity", type=int, default=0,
                    help="neighbor-table slots per cell (0 = scene default; "
                         "raise for extreme compression)")
@@ -135,6 +141,8 @@ def config_from_args(args) -> SimConfig:
         cell_size=args.cell_size,
         grid_width=args.grid_width,
     )
+    if args.wall:
+        overrides["wall"] = args.wall
     if args.cell_capacity:
         overrides["cell_capacity"] = args.cell_capacity
     if args.max_occ:
