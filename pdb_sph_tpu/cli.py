@@ -89,6 +89,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "Protected like every compact knob: plan overflow "
                         "triggers the spawn-tier fallback, restoring the "
                         "original budget. 0 keeps the run's geometry")
+    p.add_argument("--retier-geom", type=str, default="",
+                   help="mesh path only, with --retier-at: comma-separated "
+                        "KernelGeometry overrides applied at the re-tier, "
+                        "e.g. 'cc_d=512,maxlanes=49152'. The settled shard "
+                        "shapes prefer different block geometry than the "
+                        "80k single-chip sweep (docs/SCALING.md section 5: "
+                        "cc_d=512 measured ~5% faster per shard at the "
+                        "1M x 8 flagship). Same fallback protection as "
+                        "--retier-maxlanes; the spawn tier keeps the run's "
+                        "original geometry")
     p.add_argument("--allow-overflow", action="store_true",
                    help="downgrade the neighbor-structure/exchange overflow "
                         "abort (rc=2) to a loud warning — overflow "
@@ -268,11 +278,18 @@ def _main_mesh(args) -> int:
                 st = collected()
                 pcfg_old = pcfg
                 cfg2 = cfg
+                geom_overrides = {}
                 if args.retier_maxlanes:
+                    geom_overrides["maxlanes"] = args.retier_maxlanes
+                for kv in filter(None, args.retier_geom.split(",")):
+                    k, _, v = kv.partition("=")
+                    geom_overrides[k.strip()] = int(v)
+                if geom_overrides:
                     import dataclasses as _dc
 
                     cfg2 = _dc.replace(cfg, geom=_dc.replace(
-                        cfg.geom, maxlanes=args.retier_maxlanes))
+                        cfg.geom, **geom_overrides))
+                    cfg2.validate()
                 rebuild(sharded.ParallelConfig.compact(
                     cfg, D, state=st, prior=pcfg), st, new_cfg=cfg2)
                 retiered = True
