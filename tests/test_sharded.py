@@ -305,6 +305,24 @@ def test_initial_bounds_equalize_counts():
     assert occ.min() >= 0.90 * occ.mean(), f"bad split: {occ.tolist()}"
 
 
+def test_initial_bounds_min_width_on_concentrated_scenes():
+    """The quantile split must keep every slab at the 2W+2-key minimum
+    width even when the fluid is concentrated into a tiny key range
+    (blowup ball) — boundaries get coerced apart rather than stacked
+    inside the dense region, and the full key range stays covered."""
+    cfg = default_config(n=2048)
+    st = spawn(cfg, "blowup", seed=1)
+    b = sharded.initial_bounds(cfg, D, state=st)
+    W = cfg.nb_grid_width
+    assert b[0] == 0 and b[-1] == W * W
+    assert (np.diff(b) >= sharded._min_slab_keys(cfg)).all()
+    assert (np.diff(b) > 0).all()
+    # every particle lands in exactly one slab
+    key = sharded._np_zxkey(cfg, np.asarray(st.x))
+    dest = np.searchsorted(b[1:-1], key, side="right")
+    assert np.bincount(dest, minlength=D).sum() == cfg.n
+
+
 def test_ghost_band_covers_every_split_position():
     """Exchange sufficiency of the 2W+2-key ghost band, brute-forced over
     EVERY x-split position of a mid-row boundary: every cell an own
