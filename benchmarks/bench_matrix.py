@@ -197,18 +197,24 @@ def main(argv=None) -> int:
                 old[(row["scene"], row["n"])] = row
 
     rows = []
-    done = {}
     for name in ROW_FNS:
         if name in want:
             r = ROW_FNS[name]()
-            done[name] = r
+            r.pop("carried_from_previous_run", None)
             rows.append(r)
             print(json.dumps(r))
+            continue
+        # carry the prior measurement forward, marked as such; a missing
+        # prior row must be loud — silently shrinking the committed
+        # artifact would read as "row dropped" (advisor, round 5)
+        prior = [row for row in old.values() if _matches(name, row)]
+        if prior:
+            prior[0]["carried_from_previous_run"] = True
+            rows.append(prior[0])
         else:
-            # carry the prior measurement forward, marked as such
-            for row in old.values():
-                if row not in rows and _matches(name, row):
-                    rows.append(row)
+            print(f"warning: row {name!r} not re-run and absent from the "
+                  f"existing {OUT}; the artifact will not contain it",
+                  file=sys.stderr)
 
     art = {"artifact": "BASELINE.md benchmark matrix",
            "hardware": "1x TPU v5e (tunneled)",

@@ -47,33 +47,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def balanced_bounds(key: np.ndarray, w: int, n_dev: int,
-                    min_w: int) -> np.ndarray:
-    """Quantile slab boundaries in zx-KEY units for one snapshot — the
-    same construction as parallel/sharded.py initial_bounds (round 5:
-    sub-row decomposition, exact to one x-cell). The in-run boundary
-    tracker follows this ideal within ~a move strip, so per-snapshot
-    re-quantiling is the right capacity model for a balanced mesh run."""
-    K = w * w
-    hist = np.bincount(key, minlength=K)
-    cum = np.cumsum(hist)
-    n = int(cum[-1])
-    b = np.zeros(n_dev + 1, np.int64)
-    b[n_dev] = K
-    for d in range(1, n_dev):
-        cand = int(np.searchsorted(cum, n * d // n_dev, side="left")) + 1
-        b[d] = min(max(cand, b[d - 1] + min_w), K - min_w * (n_dev - d))
-    return b
-
-
-def slab_table_stats(x: np.ndarray, nb_cell: float, w: int, n_dev: int,
-                     min_w: int, gband: int):
+def slab_table_stats(cfg, x: np.ndarray, n_dev: int, gband: int):
     """Per-slab (particles, ghosts_in, table_rows) for one snapshot under
-    the balanced (quantile) sub-row decomposition."""
-    ijk = np.clip((x / nb_cell).astype(np.int64), 0, w - 1)
+    the balanced (quantile) sub-row decomposition — the bounds come from
+    sharded.initial_bounds itself (not a local reimplementation, so this
+    sizing artifact cannot drift from the decomposition the mesh actually
+    uses; the in-run boundary tracker follows the per-snapshot quantile
+    ideal within ~a move strip)."""
+    import types
+
+    from pdb_sph_tpu.parallel import sharded
+
+    w = cfg.nb_grid_width
+    ijk = np.clip((x / cfg.nb_cell).astype(np.int64), 0, w - 1)
     cid = ijk[:, 0] + w * ijk[:, 1] + (w * w) * ijk[:, 2]
-    key = ijk[:, 2] * w + ijk[:, 0]
-    b = balanced_bounds(key, w, n_dev, min_w)
+    key = sharded._np_zxkey(cfg, x)
+    b = sharded.initial_bounds(cfg, n_dev,
+                               state=types.SimpleNamespace(x=x))
     slab = np.searchsorted(b[1:-1], key, side="right")
 
     rows = np.zeros(n_dev, np.int64)
@@ -118,7 +108,6 @@ def main(argv=None) -> int:
 
     from pdb_sph_tpu.parallel import sharded
 
-    min_w = sharded._min_slab_keys(cfg)
     gband = sharded._ghost_band_keys(cfg, 2)
     max_parts = np.zeros(args.devices, np.int64)
     max_ghosts = np.zeros(args.devices, np.int64)
@@ -128,8 +117,7 @@ def main(argv=None) -> int:
         state = rollout(state)
         x = np.asarray(state.x)
         assert np.isfinite(x).all(), f"non-finite state at step {state.step}"
-        parts, ghosts, rows = slab_table_stats(
-            x, cfg.nb_cell, w, args.devices, min_w, gband)
+        parts, ghosts, rows = slab_table_stats(cfg, x, args.devices, gband)
         max_parts = np.maximum(max_parts, parts)
         max_ghosts = np.maximum(max_ghosts, ghosts)
         max_rows = np.maximum(max_rows, rows)

@@ -47,21 +47,28 @@ def step_fn(cfg: SimConfig, backend: str, state: SimState,
             pallas_interpret: bool = False, with_stats: bool = False):
     """One simulation step (not jitted; see make_step).
 
-    with_stats=True additionally returns an i32 (2,) vector
-    [table_overflow, plan_overflow] — the step's OWN neighbor-structure
-    truncation counters (cell-table drops on the cell backend, candidate-
-    plan truncation on the pallas backend), so rollouts can aggregate them
-    across a chunk instead of sampling the current state at metrics
-    cadence (VERDICT round 4, weak #5: a mid-chunk transient truncation
-    must leave a trace, as the mesh path's chunk-summed stats already do,
-    parallel/sharded.py make_sharded_rollout)."""
+    with_stats=True additionally returns an i32 (3,) vector
+    [table_overflow, plan_overflow, nonfinite] — the step's OWN neighbor-
+    structure truncation counters (cell-table drops on the cell backend,
+    candidate-plan truncation on the pallas backend) plus a non-finite-
+    state flag, so rollouts can aggregate them across a chunk instead of
+    sampling the current state at metrics cadence (VERDICT round 4, weak
+    #5: a mid-chunk transient truncation must leave a trace, as the mesh
+    path's chunk-summed stats already do, parallel/sharded.py
+    make_sharded_rollout; the nonfinite flag keeps the CLI's NaN abort
+    alive even with --metrics-every 0)."""
     backend = _resolve_backend(backend)
+
+    def stats_vec(overflow2, x, v):
+        finite = jnp.isfinite(x).all() & jnp.isfinite(v).all()
+        return jnp.concatenate(
+            [overflow2, (~finite).astype(jnp.int32)[None]])
 
     if backend == "dense":
         x, v = dense.step_dense(cfg, state.x, state.v)
         out = SimState(x=x, v=v, ids=state.ids, step=state.step + 1)
         if with_stats:  # dense has no neighbor structure to truncate
-            return out, jnp.zeros((2,), jnp.int32)
+            return out, stats_vec(jnp.zeros((2,), jnp.int32), x, v)
         return out
 
     p, v1 = predict(cfg, state.x, state.v)
@@ -116,7 +123,7 @@ def step_fn(cfg: SimConfig, backend: str, state: SimState,
     x, v = finalize(cfg, p_solved, last_s)
     out = SimState(x=x, v=v, ids=ids_s, step=state.step + 1)
     if with_stats:
-        return out, overflow
+        return out, stats_vec(overflow, x, v)
     return out
 
 
@@ -193,11 +200,12 @@ def make_rollout(cfg: SimConfig, backend: str = "auto", unroll_steps: int = 1,
     on device (the analogue of the reference's render loop never leaving the
     GPU). Returns the final state. Memoized like make_step.
 
-    with_stats=True returns (state, overflow) where overflow is the i32 (2,)
-    [table_overflow, plan_overflow] SUMMED over every step of the chunk —
-    the single-device mirror of make_sharded_rollout's chunk aggregation
-    (a transient mid-chunk truncation must surface; sampling the final
-    state at metrics cadence misses it)."""
+    with_stats=True returns (state, stats) where stats is the i32 (3,)
+    [table_overflow, plan_overflow, nonfinite] SUMMED over every step of
+    the chunk — the single-device mirror of make_sharded_rollout's chunk
+    aggregation (a transient mid-chunk truncation must surface; sampling
+    the final state at metrics cadence misses it, and the nonfinite count
+    keeps the NaN abort independent of the metrics cadence)."""
     cfg.validate()
 
     def rollout(state: SimState):
