@@ -46,6 +46,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--wall", type=float, default=0.0,
+                    help="box size; 0 = the scaled flagship box "
+                         "2*(n/80k)^(1/3); pass 2.0 for the unscaled "
+                         "reference box rounds 3-4 measured")
     ap.add_argument("--devices", type=int, default=8)
     ap.add_argument("--snap-steps", type=int, nargs="+", default=[0, 120])
     ap.add_argument("--solves-per-timing", type=int, default=10)
@@ -65,7 +69,10 @@ def main(argv=None) -> int:
     from pdb_sph_tpu.utils.timing import host_sync
 
     enable_compilation_cache()
-    cfg = pbf.default_config(n=args.n)
+    wall = args.wall or round(2.0 * (args.n / 80_000.0) ** (1.0 / 3.0), 2)
+    cfg = pbf.default_config(
+        n=args.n, wall=wall,
+        grid_width=max(40, int(np.ceil(wall * 1.25 / 0.2))))
     D = args.devices
 
     def log(msg):
@@ -167,11 +174,13 @@ def main(argv=None) -> int:
         cid_pad = np.concatenate(
             [cid, np.full(n_pad - n_loc, cfg.num_nb_cells, np.int64)])
         sc = np.sort(cid_pad)
-        w2 = cfg.nb_grid_width ** 2
-        zc = (sc.reshape(-1, cfg.geom.own) // w2)
-        real = (sc.reshape(-1, cfg.geom.own) < cfg.num_nb_cells)
-        keep_d = ((zc >= lo - 1) & (zc < hi + 1) & real).any(1)
-        keep_p = ((zc >= lo) & (zc < hi) & real).any(1)
+        # zx-key per cell, mirroring sharded._solve_pallas's restriction
+        w = cfg.nb_grid_width
+        cid_c = sc.reshape(-1, cfg.geom.own)
+        kc = (cid_c // (w * w)) * w + cid_c % w
+        real = (cid_c < cfg.num_nb_cells)
+        keep_d = ((kc >= lo - w - 1) & (kc < hi + w + 1) & real).any(1)
+        keep_p = ((kc >= lo) & (kc < hi) & real).any(1)
         live = real.any(1)
         rows = {
             "chunks_live": int(live.sum()),
@@ -195,7 +204,7 @@ def main(argv=None) -> int:
 
     print(json.dumps({
         "artifact": "per-shard ghost own-row restriction, hardware timing",
-        "config": {"n": args.n, "devices": D,
+        "config": {"n": args.n, "wall": wall, "devices": D,
                    "solver_iters": cfg.solver_iters,
                    "PBF_MAXLANES": os.environ.get("PBF_MAXLANES")},
         "snapshots": results,
