@@ -16,8 +16,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
-from pdb_sph_tpu.utils.platform import force_cpu_devices  # noqa: E402
+from pdb_sph_tpu.utils.platform import (enable_compilation_cache,  # noqa: E402
+                                        force_cpu_devices)
 
 jax.config.update("jax_enable_x64", False)
 force_cpu_devices(8)
+# the slow tests are dominated by fake-mesh shard_map compiles; the
+# persistent cache makes repeat suite runs pay them once
+enable_compilation_cache()
 assert jax.device_count() == 8, jax.devices()

@@ -12,9 +12,9 @@ summed counters). Asserted per chunk:
     round 3); mig_overflow == 0 also certifies no particle ever skipped a
     projection via the multi-hop-transit mask (sharded._solve_pallas
     docstring);
-  * every slab >= 2 z-cells wide (the two-row ghost exchange's invariant,
-    argued in sharded._update_bounds and here checked for 250 steps of
-    concurrent parity-alternating moves);
+  * every slab >= 2W+2 zx-keys wide (the boundary-band ghost exchange's
+    invariant, argued in sharded._update_bounds and here checked for 250
+    steps of concurrent parity-alternating multi-scale moves);
   * bounded imbalance (max/mean of per-shard active);
   * finite state (per-chunk NaN diag + final collect).
 
@@ -77,9 +77,9 @@ def test_mesh_soak_invariants(mesh, scene, imb_limit):
         assert diag[:, 2].sum() == 0, f"chunk {c}: NaN detected"
 
         b = np.asarray(sst.bounds)[0, 1:]
-        assert (np.diff(b) >= 2).all(), (
-            f"chunk {c}: slab under 2 cells: {b.tolist()}")
-        assert b[0] == 0 and b[-1] == cfg.nb_grid_width
+        assert (np.diff(b) >= sharded._min_slab_keys(cfg)).all(), (
+            f"chunk {c}: slab under the 2W+2-key minimum: {b.tolist()}")
+        assert b[0] == 0 and b[-1] == cfg.nb_grid_width ** 2
         # every shard's replicated bounds row must agree
         rows = np.asarray(sst.bounds)[:, 1:]
         assert (rows == rows[0]).all(), "bounds rows diverged across shards"
