@@ -19,7 +19,7 @@ refresh (the refresh GLUE — packing the ghost buffer from p_now — is on-
 chip work and is included; only the ppermute hop itself is replaced by an
 identity). Inputs come from a real 1M snapshot: the most-populated slab
 of the balanced quantile split owns the shard, and the neighbor slabs'
-two boundary rows arrive as ghosts, packed at ParallelConfig capacities.
+boundary key-bands arrive as ghosts, packed at ParallelConfig capacities.
 
 (b) per step, per shard, both directions combined (D-1 of D shards do
 both sides; edges less):

@@ -6,7 +6,7 @@ SIGGRAPH 2013): spatial-hash neighbor search, Jacobi density-constraint
 solver with CFM relaxation, box collisions, and the Standard / DamBreak /
 Blowup scenes — designed TPU-first (counting-sort cell list via lax.sort,
 fused Pallas neighbor kernels, whole step resident on device as one jitted
-program, z-slab domain decomposition over a device mesh).
+program, sub-row zx-key domain decomposition over a device mesh).
 """
 
 from .config import SimConfig, default_config, blowup_config, SCENES

@@ -55,8 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", choices=("auto", "pallas", "cell", "dense"),
                    default="auto")
     p.add_argument("--devices", type=int, default=0,
-                   help="run on an N-device mesh (load-balanced z-slab "
-                        "decomposition, parallel/sharded.py); 0 = "
+                   help="run on an N-device mesh (load-balanced sub-row "
+                        "zx-key decomposition, parallel/sharded.py); 0 = "
                         "single-device path")
     p.add_argument("--fake-devices", type=int, default=0,
                    help="force an N-virtual-device CPU platform before "
@@ -198,7 +198,7 @@ def _pick_chunk(args) -> int:
 
 def _main_mesh(args) -> int:
     """The mesh-path runner: the same app surface (metrics, frames, GIF,
-    checkpoint/resume, NaN abort) driving the load-balanced z-slab
+    checkpoint/resume, NaN/overflow gates) driving the load-balanced sub-row
     decomposition of parallel/sharded.py. The reference's app drives its
     whole sim (src/main.cpp:75-143); so does this one at any device count."""
     import jax.numpy as jnp
