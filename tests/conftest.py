@@ -16,12 +16,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
-from pdb_sph_tpu.utils.platform import (enable_compilation_cache,  # noqa: E402
-                                        force_cpu_devices)
+from pdb_sph_tpu.utils.platform import force_cpu_devices  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
 force_cpu_devices(8)
-# the slow tests are dominated by fake-mesh shard_map compiles; the
-# persistent cache makes repeat suite runs pay them once
-enable_compilation_cache()
+# NOTE: do NOT enable the persistent compilation cache here — serializing
+# the giant fake-mesh scan executables (max_occ=2048 soak shapes) to disk
+# measured 2.5x+ SLOWER than recompiling them (round 5: the soak test went
+# from ~60 min to not finishing in 150); the cache pays off only for the
+# TPU programs the benches compile
 assert jax.device_count() == 8, jax.devices()
