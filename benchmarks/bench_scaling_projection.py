@@ -81,7 +81,7 @@ def main(argv=None) -> int:
     ap.add_argument("--occ-slack", type=float, default=1.5,
                     help="capacity floor multiplier over the worst slab "
                          "occupancy; the compact settled tier "
-                         "(ParallelConfig.compact) uses 1.2")
+                         "(ParallelConfig.compact) uses 1.1")
     ap.add_argument("--ghost-rows", type=int, default=2, choices=(1, 2),
                     help="1 = h-band ghost mode (docs/SCALING.md section "
                          "6): half the ghost lanes and wire bytes")

@@ -272,7 +272,8 @@ class ParallelConfig:
         on spawn-tier overflow (cli.py _main_mesh; tested by
         tests/test_cli.py's forced-overflow cases). Tight-slack rationale:
         the 240-step 1M collapse measured boundary-row drift after
-        settling well inside 1.25x, and the boundary tracker holds slab
+        settling well inside the slack (round-5 OCC re-measure: worst band
+        95,435 vs gcap 110,208), and the boundary tracker holds slab
         occupancy near the quantile split (docs/SCALING.md section 7).
 
         Pass `prior=` (the tier being replaced) to carry its mode flags —
